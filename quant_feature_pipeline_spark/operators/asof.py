@@ -1,0 +1,350 @@
+"""J1 — the point-in-time as-of join, the reference's core operator.
+
+Reference semantics (`/root/reference/step4_merge_features.py:347-359,
+522-535`): for each left row at time ts, attach the latest right row with
+``right.ts <= ts`` (backward; forward/nearest + ``allow_exact_matches`` +
+``tolerance`` configurable per `congfigs/main_config.yaml` merge block).
+
+Spark has no built-in as-of join, so three from-scratch formulations:
+
+1. ``asof_join_union_ffill`` (default) — pure Catalyst: union left and
+   right on the time axis, tag provenance, and forward-fill the right
+   payload with ``last(x, ignorenulls=True)`` over
+   ``(PARTITION BY entity ORDER BY ts, side)``; then keep left rows.
+   One sort-based window per entity partition, whole-stage codegen,
+   no Python. Exact-match and direction fall out of the tag's sort
+   position; tolerance is a post-mask on the filled right timestamp.
+
+2. ``asof_join_sorted_merge`` — the north-rule formulation: cogrouped
+   ``applyInPandas`` running a vectorized ``pd.merge_asof`` per
+   ts-sorted entity group (Arrow batches, never per-row Python).
+   Best when entity cardinality >> cores.
+
+3. ``asof_join_bucketed`` — range-partitioned variant for few/huge
+   entities: bucket ts into ranges, carry each bucket's latest
+   preceding right row in via a small per-bucket ffill, equi-join on
+   (entity, bucket), then pick max(right_ts <= ts) per left row.
+   Bounded duplication (right rows appear in exactly their own bucket
+   + one carry row per later bucket-front), partition-parallel inside
+   a single entity — this is what survives a 100x scale-up on a
+   single hot symbol.
+
+All three are cross-checked against each other and against a pandas
+oracle in tests/test_asof.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..tsutil import epoch_seconds
+
+
+def _right_value_cols(left: DataFrame, right: DataFrame, by: str, on: str) -> list[str]:
+    return [c for c in right.columns if c not in (by, on)]
+
+
+def _prefixed(cols: list[str], prefix: str) -> list[str]:
+    return [f"{prefix}{c}" for c in cols]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "entity",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_s: float | None = None,
+    right_prefix: str = "",
+    strategy: str = "union_ffill",
+) -> DataFrame:
+    """Dispatching front-end; see module docstring for the strategies."""
+    impl = {
+        "union_ffill": asof_join_union_ffill,
+        "sorted_merge": asof_join_sorted_merge,
+        "bucketed": asof_join_bucketed,
+    }[strategy]
+    return impl(
+        left,
+        right,
+        on=on,
+        by=by,
+        direction=direction,
+        allow_exact_matches=allow_exact_matches,
+        tolerance_s=tolerance_s,
+        right_prefix=right_prefix,
+    )
+
+
+def asof_join_union_ffill(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "entity",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_s: float | None = None,
+    right_prefix: str = "",
+    **_: object,
+) -> DataFrame:
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, by, allow_exact_matches, tolerance_s, right_prefix,
+            asof_join_union_ffill,
+        )
+    vcols = _right_value_cols(left, right, by, on)
+    out_names = _prefixed(vcols, right_prefix)
+    lcols = [c for c in left.columns if c not in (by, on)]
+
+    l_tagged = left.select(
+        F.col(by), F.col(on), F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in vcols],
+        F.lit(None).cast(left.schema[on].dataType).alias("_rts"),
+    )
+    r_tagged = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in vcols],
+        F.col(on).cast(left.schema[on].dataType).alias("_rts"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        # exact match allowed -> right(0) sorts before left(1) at equal ts
+        side_order = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    elif direction == "forward":
+        side_order = F.col("_side").desc() if allow_exact_matches else F.col("_side").asc()
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on).asc(), side_order)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction}")
+
+    filled = u.select(
+        F.col(by), F.col(on), F.col("_side"),
+        *[F.col(c) for c in lcols],
+        *[fill(f"_r_{c}").alias(f"_f_{c}") for c in vcols],
+        fill("_rts").alias("_frts"),
+    ).filter(F.col("_side") == 1)
+
+    if tolerance_s is not None:
+        delta = F.abs(
+            epoch_seconds(F.col(on)) - epoch_seconds(F.col("_frts"))
+        )
+        within = delta <= F.lit(float(tolerance_s))
+        value_exprs = [
+            F.when(within, F.col(f"_f_{c}")).alias(o) for c, o in zip(vcols, out_names)
+        ]
+        rts_expr = F.when(within, F.col("_frts")).alias(f"{right_prefix}matched_{on}")
+    else:
+        value_exprs = [F.col(f"_f_{c}").alias(o) for c, o in zip(vcols, out_names)]
+        rts_expr = F.col("_frts").alias(f"{right_prefix}matched_{on}")
+
+    return filled.select(F.col(by), F.col(on), *[F.col(c) for c in lcols], *value_exprs, rts_expr)
+
+
+def asof_join_sorted_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "entity",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_s: float | None = None,
+    right_prefix: str = "",
+    **_: object,
+) -> DataFrame:
+    """Cogrouped applyInPandas `pd.merge_asof` per entity — vectorized,
+    exactly the reference's pandas semantics, Arrow-batched."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    vcols = _right_value_cols(left, right, by, on)
+    out_names = _prefixed(vcols, right_prefix)
+    lcols = [c for c in left.columns if c not in (by, on)]
+
+    fields = [left.schema[by], left.schema[on]]
+    fields += [left.schema[c] for c in lcols]
+    fields += [
+        T.StructField(o, right.schema[c].dataType, True)
+        for c, o in zip(vcols, out_names)
+    ]
+    fields += [T.StructField(f"{right_prefix}matched_{on}", left.schema[on].dataType, True)]
+    out_schema = T.StructType(fields)
+
+    tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        rename = {c: o for c, o in zip(vcols, out_names)}
+        if rpdf.empty:
+            res = lpdf.copy()
+            for o in out_names:
+                res[o] = None
+            res[f"{right_prefix}matched_{on}"] = pd.NaT
+            return res[[f.name for f in out_schema.fields]]
+        rpdf = rpdf.sort_values(on, kind="mergesort").drop(columns=[by])
+        rpdf[f"{right_prefix}matched_{on}"] = rpdf[on]
+        res = pd.merge_asof(
+            lpdf,
+            rpdf.rename(columns=rename),
+            on=on,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+            tolerance=tol,
+        )
+        return res[[f.name for f in out_schema.fields]]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "entity",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_s: float | None = None,
+    right_prefix: str = "",
+    bucket_s: int = 3600,
+    **_: object,
+) -> DataFrame:
+    """Range-partitioned backward as-of join (pure Catalyst).
+
+    Scale path for few/huge entities: a single entity's timeline is split
+    into ``bucket_s``-second ranges that process in parallel. Right rows
+    equi-join into their own bucket; each bucket additionally receives ONE
+    carry row — the latest right row from any earlier bucket — computed by
+    a cheap per-bucket ffill over the (tiny) bucket axis.
+    """
+    if direction != "backward":
+        raise NotImplementedError("bucketed strategy implements backward asof")
+    vcols = _right_value_cols(left, right, by, on)
+    out_names = _prefixed(vcols, right_prefix)
+    lcols = [c for c in left.columns if c not in (by, on)]
+    bucket = lambda c: F.floor(epoch_seconds(F.col(c)) / bucket_s).cast("long")  # noqa: E731
+
+    l_b = left.withColumn("_bkt", bucket(on)).withColumn(
+        "_lid", F.monotonically_increasing_id()
+    )
+    r_b = right.withColumn("_bkt", bucket(on))
+
+    # latest right row per (entity, bucket)
+    w_last = Window.partitionBy(by, "_bkt").orderBy(F.col(on).desc())
+    last_per_bucket = (
+        r_b.withColumn("_rn", F.row_number().over(w_last)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+    # bucket axis = all buckets seen on either side; ffill the latest right
+    # row payload over the axis, then lag by one so bucket b gets "latest
+    # right strictly before b's start"
+    axis = (
+        l_b.select(by, "_bkt").unionByName(r_b.select(by, "_bkt")).distinct()
+    )
+    lpb = last_per_bucket.select(
+        by, "_bkt", *[F.col(c).alias(f"_c_{c}") for c in vcols + [on]]
+    )
+    w_carry = (
+        Window.partitionBy(by)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        axis.join(lpb, [by, "_bkt"], "left")
+        .select(
+            by,
+            "_bkt",
+            *[
+                F.last(f"_c_{c}", ignorenulls=True).over(w_carry).alias(f"_p_{c}")
+                for c in vcols + [on]
+            ],
+        )
+    )
+
+    # candidates: right rows in the same bucket ∪ the carry row
+    same = r_b.select(
+        by, "_bkt", *[F.col(c).alias(f"_p_{c}") for c in vcols + [on]]
+    )
+    candidates = same.unionByName(
+        carry.filter(F.col(f"_p_{on}").isNotNull())
+    )
+
+    cond_ts = (
+        F.col(f"_p_{on}") <= F.col(on)
+        if allow_exact_matches
+        else F.col(f"_p_{on}") < F.col(on)
+    )
+    if tolerance_s is not None:
+        cond_ts = cond_ts & (
+            (epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_p_{on}")))
+            <= float(tolerance_s)
+        )
+    joined = l_b.join(candidates, [by, "_bkt"], "left").withColumn(
+        "_ok", F.coalesce(cond_ts, F.lit(False))
+    )
+    # best candidate per left row = admissible row with max right-ts;
+    # a left row with no admissible candidate keeps exactly one null row
+    w_pick = Window.partitionBy("_lid").orderBy(
+        F.col("_ok").desc(), F.col(f"_p_{on}").desc_nulls_last()
+    )
+    picked = joined.withColumn("_rn", F.row_number().over(w_pick)).filter(
+        F.col("_rn") == 1
+    )
+    value_exprs = [
+        F.when(F.col("_ok"), F.col(f"_p_{c}")).alias(o)
+        for c, o in zip(vcols, out_names)
+    ]
+    rts = F.when(F.col("_ok"), F.col(f"_p_{on}")).alias(f"{right_prefix}matched_{on}")
+    return picked.select(
+        F.col(by), F.col(on), *[F.col(c) for c in lcols], *value_exprs, rts
+    )
+
+
+def _asof_nearest(left, right, on, by, allow_exact, tol_s, prefix, impl):
+    """nearest = argmin(|ts - rts|) of the backward and forward matches."""
+    vcols = _right_value_cols(left, right, by, on)
+    bwd = impl(
+        left, right, on=on, by=by, direction="backward",
+        allow_exact_matches=allow_exact, tolerance_s=tol_s, right_prefix="_b_",
+    )
+    fwd = impl(
+        left, right, on=on, by=by, direction="forward",
+        allow_exact_matches=allow_exact, tolerance_s=tol_s, right_prefix="_f_",
+    )
+    lkey = [by, on] + [c for c in left.columns if c not in (by, on)]
+    both = bwd.join(fwd.select(*( [by, on] + [f"_f_{c}" for c in vcols] + [f"_f_matched_{on}"])), [by, on])
+    db = F.abs(epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_b_matched_{on}")))
+    df_ = F.abs(epoch_seconds(F.col(f"_f_matched_{on}")) - epoch_seconds(F.col(on)))
+    use_b = F.col(f"_f_matched_{on}").isNull() | (
+        F.col(f"_b_matched_{on}").isNotNull() & (db <= df_)
+    )
+    sel = [
+        F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(f"{prefix}{c}")
+        for c in vcols
+    ] + [
+        F.when(use_b, F.col(f"_b_matched_{on}"))
+        .otherwise(F.col(f"_f_matched_{on}"))
+        .alias(f"{prefix}matched_{on}")
+    ]
+    return both.select(*[F.col(c) for c in lkey], *sel)

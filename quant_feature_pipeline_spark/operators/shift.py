@@ -1,0 +1,118 @@
+"""W1/W2/W7 — lag/lead shift features, momentum, log return.
+
+Reference semantics:
+- W1 "true sliding window" momentum (`/root/reference/tools/real_sliding_simple.py:30-78`):
+  ``mom = close/close.shift(k*steps) - 1`` recomputed on the base grid so
+  a large-timeframe momentum updates every base bar; NaN → ffill → 0.
+- W7 log return (`step5_featueres_unified.py:1158-1163`): log(p_t/p_{t-1})
+  with zero-price guard.
+- lead shift: the mirrored forward-looking shift (label construction).
+
+All pure window/lag expressions — whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _w(by: str, ts_col: str):
+    return Window.partitionBy(by).orderBy(ts_col)
+
+
+def lag_momentum(
+    df: DataFrame,
+    periods: int,
+    src: str = "close",
+    out: str = "mom",
+    by: str = "entity",
+    ts_col: str = "ts",
+    fill_zero: bool = True,
+) -> DataFrame:
+    """mom = src/lag(src, periods) - 1, warm-up rows 0-filled like the
+    reference (`tools/real_sliding_simple.py:75`)."""
+    w = _w(by, ts_col)
+    prev = F.lag(src, periods).over(w)
+    mom = F.when(prev.isNotNull() & (prev != 0), F.col(src) / prev - 1.0)
+    if fill_zero:
+        mom = F.coalesce(mom, F.lit(0.0))
+    return df.withColumn(out, mom)
+
+
+def sliding_momentum(
+    df: DataFrame,
+    tf_periods: dict[str, int],
+    base_steps: dict[str, int],
+    src: str = "close",
+    by: str = "entity",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """W1 driver: for each timeframe tf with lookback L bars and
+    ``steps`` base bars per tf bar, compute ``{tf}_mom{L}`` on the base
+    grid with shift L*steps (`tools/real_sliding_simple.py:81-155`)."""
+    w = _w(by, ts_col)
+    out = df
+    for tf, L in tf_periods.items():
+        k = L * base_steps[tf]
+        prev = F.lag(src, k).over(w)
+        out = out.withColumn(
+            f"{tf}_mom{L}",
+            F.coalesce(
+                F.when(prev.isNotNull() & (prev != 0), F.col(src) / prev - 1.0),
+                F.lit(0.0),
+            ),
+        )
+    return out
+
+
+def log_return(
+    df: DataFrame,
+    src: str = "close",
+    out: str = "ret_log",
+    by: str = "entity",
+    ts_col: str = "ts",
+) -> DataFrame:
+    w = _w(by, ts_col)
+    prev = F.lag(src, 1).over(w)
+    return df.withColumn(
+        out,
+        F.coalesce(
+            F.when((prev > 0) & (F.col(src) > 0), F.log(F.col(src) / prev)),
+            F.lit(0.0),
+        ),
+    )
+
+
+def lead_shift(
+    df: DataFrame,
+    cols: list[str],
+    periods: int,
+    by: str = "entity",
+    ts_col: str = "ts",
+    suffix: str | None = None,
+) -> DataFrame:
+    """Forward shift (lead) — label/targets; suffix defaults to _lead{k}."""
+    w = _w(by, ts_col)
+    sfx = suffix or f"_lead{periods}"
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{sfx}", F.lead(c, periods).over(w))
+    return out
+
+
+def lag_shift(
+    df: DataFrame,
+    cols: list[str],
+    periods: int,
+    by: str = "entity",
+    ts_col: str = "ts",
+    suffix: str | None = None,
+) -> DataFrame:
+    w = _w(by, ts_col)
+    sfx = suffix or f"_lag{periods}"
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{sfx}", F.lag(c, periods).over(w))
+    return out

@@ -1,0 +1,48 @@
+"""Sinks — S6/S7 equivalents.
+
+The reference writes per-step CSV/Parquet files with tmp+rename atomicity
+(`/root/reference/tools/export_utils.py:265-290`). Here: partitioned
+parquet writes (atomic at the directory-commit level via Spark's
+FileOutputCommitter), partitionBy(entity-bucket) so a 1000-executor read
+gets balanced splits, plus a JSON sidecar manifest carrying the schema
+hash (the reference's NPZ `schema_sha` contract,
+`tools/export_utils.py:47-50`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.schema_contract import schema_sha
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_cols: tuple[str, ...] = (),
+    manifest: bool = True,
+) -> str:
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    if manifest:
+        meta = {
+            "columns": df.columns,
+            "schema_sha": schema_sha(df.columns),
+            "partition_cols": list(partition_cols),
+        }
+        with open(os.path.join(path, "_manifest.json"), "w") as fh:
+            json.dump(meta, fh, indent=2)
+    return path
+
+
+def bucket_column(df: DataFrame, col: str = "entity", buckets: int = 64):
+    """Stable bucket id for partitioned layout (co-locates an entity's
+    history; bounded file count at high entity cardinality)."""
+    return df.withColumn("_bucket", F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int"))
