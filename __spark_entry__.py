@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship multi-timeframe feature pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data ops); each callable takes (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents for every
+SQL-expressible query (same column names; floats rounded identically on
+both sides so the driver's value-hash compares cleanly).
+
+Implementation lives in ``quant_feature_pipeline_spark``; this module
+only wires operators to the shared testdata tables
+(events/documents/embeddings/lineitem/orders/customer/nation).
 """
 
 from __future__ import annotations
@@ -12,27 +17,807 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from quant_feature_pipeline_spark.config import PipelineConfig
+from quant_feature_pipeline_spark.operators.asof import asof_join
+from quant_feature_pipeline_spark.operators.fill import bfill, ffill
+from quant_feature_pipeline_spark.operators.resample import continuity_stats, resample_ohlcv
+from quant_feature_pipeline_spark.operators.sessionize import session_stats
+from quant_feature_pipeline_spark.operators.dedup import dedup_exact
+from quant_feature_pipeline_spark.functions.indicators import (
+    bollinger_width,
+    rolling_zscore,
+)
+from quant_feature_pipeline_spark.functions.rank import rolling_percentile_rank
+from quant_feature_pipeline_spark.functions.recurrence import compute_recurrence_indicators
+from quant_feature_pipeline_spark.functions.timefeat import time_encodings
+from quant_feature_pipeline_spark.sources.bars import bars_from_events
+from quant_feature_pipeline_spark.sources.scan import dedup_keep_last
+from quant_feature_pipeline_spark.textops.dedup import (
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from quant_feature_pipeline_spark.textops.quality import (
+    fingerprint,
+    langid_heuristic,
+    quality_scores,
+    token_count,
+)
+from quant_feature_pipeline_spark.textops.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+)
+from quant_feature_pipeline_spark.plans.pipeline import run_pipeline
+from quant_feature_pipeline_spark.tsutil import epoch_seconds
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events mapped onto the bar shape keyed (user_id, ts)."""
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("open"),
+        F.col("value").alias("high"),
+        F.col("value").alias("low"),
+        F.col("value").alias("close"),
+        F.lit(1.0).alias("volume"),
+        "event_id",
+    )
+
+
+def _axis_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15m resample of events used as the as-of right side."""
+    return (
+        resample_ohlcv(_ticks(spark, sf_dir), "15m", by="user_id")
+        .select("user_id", "ts", F.col("close").alias("bucket_close"))
+    )
+
+
+R6 = 6  # per-row / windowed float rounding
+R2 = 2  # larger aggregates
+
+
+# ---------------------------------------------------------------- queries
+
+def q_resample_ohlcv_15m(spark, sf_dir):
+    out = resample_ohlcv(_ticks(spark, sf_dir), "15m", by="user_id")
+    return out.select(
+        "user_id", "ts", "open", "high", "low", "close",
+        F.round("volume", R2).alias("volume"), "bar_count",
+    )
+
+
+def q_asof_backward(spark, sf_dir):
+    left = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return asof_join(left, _axis_15m(spark, sf_dir), by="user_id").select(
+        "user_id", "ts", "event_id", "value", "bucket_close", "matched_ts"
+    )
+
+
+def q_asof_backward_noexact(spark, sf_dir):
+    left = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return asof_join(
+        left, _axis_15m(spark, sf_dir), by="user_id", allow_exact_matches=False,
+        strategy="sorted_merge",
+    ).select("user_id", "ts", "event_id", "bucket_close", "matched_ts")
+
+
+def q_asof_tolerance(spark, sf_dir):
+    left = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return asof_join(
+        left, _axis_15m(spark, sf_dir), by="user_id", tolerance_s=600,
+        strategy="bucketed",
+    ).select("user_id", "ts", "event_id", "bucket_close", "matched_ts")
+
+
+def q_asof_forward(spark, sf_dir):
+    left = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return asof_join(
+        left, _axis_15m(spark, sf_dir), by="user_id", direction="forward"
+    ).select("user_id", "ts", "event_id", "bucket_close", "matched_ts")
+
+
+def q_dedup_keep_last(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return dedup_keep_last(ev, keys=("user_id", "ts"), order_col="event_id")
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, content_col="text", order_col="doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_grid_ffill_5m(spark, sf_dir):
+    """Per-user 5m grid (epoch-aligned buckets spanning each user's
+    range) with forward-filled last value."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 5 MINUTES"))).alias("ts"),
+    )
+    last_val = (
+        resample_ohlcv(_ticks(spark, sf_dir), "5m", by="user_id")
+        .select("user_id", "ts", F.col("close").alias("val"))
+    )
+    joined = grid.join(last_val, ["user_id", "ts"], "left")
+    return ffill(joined, ["val"], by="user_id").select("user_id", "ts", "val")
+
+
+def q_bfill_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("purchase_val"),
+    )
+    return bfill(ev, ["purchase_val"], by="user_id").select(
+        "user_id", "ts", "event_id", "purchase_val"
+    )
+
+
+def q_sessionize_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = session_stats(ev, gap_s=1800, by="user_id", value_col="value")
+    return out.select(
+        "user_id", "session_id", "session_start", "session_end",
+        F.round("duration_s", R6).alias("duration_s"),
+        "n_events",
+        F.round("sum_value", R2).alias("sum_value"),
+    )
+
+
+def q_lag_momentum_3(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value", 3).over(w)
+    return ev.withColumn(
+        "mom3",
+        F.round(
+            F.coalesce(
+                F.when(prev.isNotNull() & (prev != 0), F.col("value") / prev - 1.0),
+                F.lit(0.0),
+            ),
+            R6,
+        ),
+    )
+
+
+def q_log_return(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value", 1).over(w)
+    return ev.withColumn(
+        "ret_log",
+        F.round(
+            F.coalesce(
+                F.when((prev > 0) & (F.col("value") > 0), F.log(F.col("value") / prev)),
+                F.lit(0.0),
+            ),
+            R6,
+        ),
+    )
+
+
+def q_lead_shift_2(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.withColumn("value_lead2", F.lead("value", 2).over(w))
+
+
+def q_rolling_sma_20(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    return ev.withColumn("sma20", F.round(F.avg("value").over(w), R6))
+
+
+def q_rolling_zscore_20(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = rolling_zscore(ev, 20, "value", by="user_id", out="z20")
+    return out.withColumn("z20", F.round("z20", R6))
+
+
+def q_bb_width_20(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").alias("close")
+    )
+    out = bollinger_width(ev, 20, 2.0, by="user_id")
+    return out.select(
+        "user_id", "ts", "event_id", F.round("bb_width", R6).alias("bb_width")
+    )
+
+
+def q_rolling_volsum_5(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return ev.withColumn("volsum5", F.round(F.sum("value").over(w), R2))
+
+
+def q_rolling_rank_20(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = rolling_percentile_rank(ev, "value", 20, by="user_id", out="rank20")
+    return out.select("user_id", "ts", F.round("rank20", R6).alias("rank20"))
+
+
+def q_time_encodings(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    out = time_encodings(ev)
+    return out.select(
+        "event_id",
+        *[F.round(c, R6).alias(c) for c in
+          ("time_day_sin", "time_day_cos", "time_hour_sin", "time_hour_cos")],
+    )
+
+
+def q_tail_last5(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+    )
+
+
+def q_continuity_gaps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    out = continuity_stats(ev, "1m", by="user_id")
+    return out.select(
+        "user_id", F.round("max_gap_s", R6).alias("max_gap_s"), "n_rows"
+    )
+
+
+def q_winsorize_tanh(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    stats = ev.agg(
+        F.percentile("value", F.lit(0.001)).alias("lo"),
+        F.percentile("value", F.lit(0.999)).alias("hi"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    j = ev.crossJoin(F.broadcast(stats))
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.select(
+        "event_id",
+        F.round(F.tanh(clipped / (3.0 * F.col("sigma"))), R6).alias("value_wt"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), R2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), R6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), R6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_agg_nation_revenue(spark, sf_dir):
+    """Broadcast dims: orders ⋈ customer ⋈ nation, revenue per nation."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 1).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("rk", "o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_count(docs).select("doc_id", "n_tokens", "n_tokens_bpeish")
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_scores(docs)
+    return out.select(
+        "doc_id", "q_n_chars", "q_n_words",
+        F.round("q_punct_ratio", R6).alias("q_punct_ratio"),
+        F.round("q_stopword_ratio", R6).alias("q_stopword_ratio"),
+        F.round("q_mean_word_len", R6).alias("q_mean_word_len"),
+        F.round("q_score", R6).alias("q_score"),
+    )
+
+
+def q_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return langid_heuristic(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return fingerprint(docs).select("doc_id", "doc_fingerprint")
+
+
+def q_knn_cosine_top3(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_bruteforce(emb, queries_df, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", R6).alias("cosine"), "rank"
+    )
+
+
+def q_embed_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, cosine_threshold=0.4, exact=True)
+    return out.select("id_a", "id_b", F.round("cosine", R6).alias("cosine"))
+
+
+def q_jaccard_3gram_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", R6).alias("jaccard"))
+
+
+# ----- rows-only (no ANSI-SQL oracle; validated in tests/ vs pandas oracles)
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_dup_pairs(docs, num_perm=32, bands=8, jaccard_threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", R6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(docs, max_hamming=3)
+
+
+def q_recurrence_indicators(spark, sf_dir):
+    bars = resample_ohlcv(_ticks(spark, sf_dir), "15m", by="user_id").drop("bar_count")
+    out = compute_recurrence_indicators(bars, PipelineConfig(), by="user_id")
+    cols = ["user_id", "ts", "ema_20", "rsi14", "rsi_event", "macd", "atr14",
+            "supertrend_direction"]
+    return out.select(*[F.round(c, R6).alias(c) if c not in ("user_id", "ts") else c for c in cols])
+
+
+def q_flagship_features(spark, sf_dir):
+    bars = bars_from_events(_t(spark, sf_dir, "events"))
+    return run_pipeline(
+        bars.select("entity", "ts", "open", "high", "low", "close", "volume"),
+        PipelineConfig(base_tf="3m", resample_targets=("3m", "15m", "30m")),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_features(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "resample_ohlcv_15m": q_resample_ohlcv_15m,
+        "asof_backward": q_asof_backward,
+        "asof_backward_noexact": q_asof_backward_noexact,
+        "asof_tolerance": q_asof_tolerance,
+        "asof_forward": q_asof_forward,
+        "dedup_keep_last": q_dedup_keep_last,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "grid_ffill_5m": q_grid_ffill_5m,
+        "bfill_value": q_bfill_value,
+        "sessionize_stats": q_sessionize_stats,
+        "lag_momentum_3": q_lag_momentum_3,
+        "log_return": q_log_return,
+        "lead_shift_2": q_lead_shift_2,
+        "rolling_sma_20": q_rolling_sma_20,
+        "rolling_zscore_20": q_rolling_zscore_20,
+        "bb_width_20": q_bb_width_20,
+        "rolling_volsum_5": q_rolling_volsum_5,
+        "rolling_rank_20": q_rolling_rank_20,
+        "time_encodings": q_time_encodings,
+        "tail_last5": q_tail_last5,
+        "continuity_gaps": q_continuity_gaps,
+        "winsorize_tanh": q_winsorize_tanh,
+        "tpch_q1": q_tpch_q1,
+        "join_agg_nation_revenue": q_join_agg_nation_revenue,
+        "topk_orders": q_topk_orders,
+        "token_count": q_token_count,
+        "quality_scores": q_quality_scores,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "knn_cosine_top3": q_knn_cosine_top3,
+        "embed_near_dup": q_embed_near_dup,
+        "jaccard_3gram_pairs": q_jaccard_3gram_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "recurrence_indicators": q_recurrence_indicators,
+        "flagship_features": q_flagship_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_AXIS_15M_SQL = """
+    SELECT user_id,
+           time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS ts,
+           arg_max(value, ts) AS bucket_close
+    FROM events GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "resample_ohlcv_15m": """
+            SELECT user_id,
+                   time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS ts,
+                   arg_min(value, ts) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   arg_max(value, ts) AS close,
+                   round(count(*)::DOUBLE, 2) AS volume,
+                   count(*) AS bar_count
+            FROM events GROUP BY 1, 2
+        """,
+        "asof_backward": f"""
+            SELECT e.user_id, e.ts, e.event_id, e.value,
+                   b.bucket_close, b.ts AS matched_ts
+            FROM events e
+            ASOF LEFT JOIN ({_AXIS_15M_SQL}) b
+              ON e.user_id = b.user_id AND e.ts >= b.ts
+        """,
+        "asof_backward_noexact": f"""
+            SELECT e.user_id, e.ts, e.event_id,
+                   b.bucket_close, b.ts AS matched_ts
+            FROM events e
+            ASOF LEFT JOIN ({_AXIS_15M_SQL}) b
+              ON e.user_id = b.user_id AND e.ts > b.ts
+        """,
+        "asof_tolerance": f"""
+            WITH m AS (
+              SELECT e.user_id, e.ts, e.event_id,
+                     b.bucket_close, b.ts AS matched_ts
+              FROM events e
+              ASOF LEFT JOIN ({_AXIS_15M_SQL}) b
+                ON e.user_id = b.user_id AND e.ts >= b.ts
+            )
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch(ts) - epoch(matched_ts) <= 600 THEN bucket_close END AS bucket_close,
+                   CASE WHEN epoch(ts) - epoch(matched_ts) <= 600 THEN matched_ts END AS matched_ts
+            FROM m
+        """,
+        "asof_forward": f"""
+            SELECT e.user_id, e.ts, e.event_id,
+                   b.bucket_close, b.ts AS matched_ts
+            FROM events e
+            ASOF LEFT JOIN ({_AXIS_15M_SQL}) b
+              ON e.user_id = b.user_id AND e.ts <= b.ts
+        """,
+        "dedup_keep_last": """
+            SELECT user_id, ts, event_id, value FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+        """,
+        "dedup_exact_docs": """
+            SELECT doc_id, source, n_chars FROM documents
+            QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1
+        """,
+        "grid_ffill_5m": """
+            WITH bounds AS (
+              SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+              FROM events GROUP BY 1
+            ),
+            grid AS (
+              SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 5 MINUTE)) AS ts
+              FROM bounds
+            ),
+            lastv AS (
+              SELECT user_id,
+                     time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS ts,
+                     arg_max(value, ts) AS val
+              FROM events GROUP BY 1, 2
+            )
+            SELECT g.user_id, g.ts,
+                   last_value(l.val IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val
+            FROM grid g LEFT JOIN lastv l ON g.user_id = l.user_id AND g.ts = l.ts
+        """,
+        "bfill_value": """
+            SELECT user_id, ts, event_id,
+                   first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS purchase_val
+            FROM events
+        """,
+        "sessionize_stats": """
+            WITH d AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS flag
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM d
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
+        "lag_momentum_3": """
+            SELECT user_id, ts, event_id, value,
+                   round(coalesce(
+                     CASE WHEN lag(value, 3) OVER w IS NOT NULL AND lag(value, 3) OVER w <> 0
+                          THEN value / lag(value, 3) OVER w - 1.0 END, 0.0), 6) AS mom3
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "log_return": """
+            SELECT user_id, ts, event_id, value,
+                   round(coalesce(
+                     CASE WHEN lag(value, 1) OVER w > 0 AND value > 0
+                          THEN ln(value / lag(value, 1) OVER w) END, 0.0), 6) AS ret_log
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "lead_shift_2": """
+            SELECT user_id, ts, event_id, value,
+                   lead(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lead2
+            FROM events
+        """,
+        "rolling_sma_20": """
+            SELECT user_id, ts, event_id, value,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS sma20
+            FROM events
+        """,
+        "rolling_zscore_20": """
+            SELECT user_id, ts, event_id, value,
+                   round((value - avg(value) OVER w) /
+                         greatest(stddev_pop(value) OVER w, 1e-6), 6) AS z20
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        """,
+        "bb_width_20": """
+            SELECT user_id, ts, event_id,
+                   round(CASE WHEN count(value) OVER w >= 10 AND avg(value) OVER w <> 0
+                         THEN 2.0 * 2.0 * stddev_samp(value) OVER w / avg(value) OVER w
+                         END, 6) AS bb_width
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_volsum_5": """
+            SELECT user_id, ts, event_id, value,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS volsum5
+            FROM events
+        """,
+        "rolling_rank_20": """
+            WITH r AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+              FROM events
+            )
+            SELECT a.user_id, a.ts,
+                   round(CASE WHEN count(*) >= 10 THEN
+                     least(greatest(
+                       (sum(CASE WHEN b.value < a.value THEN 1 ELSE 0 END)
+                        + 0.5 * sum(CASE WHEN b.value = a.value THEN 1 ELSE 0 END))
+                       / count(*), 0.01), 0.99) END, 6) AS rank20
+            FROM r a JOIN r b
+              ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+            GROUP BY a.user_id, a.ts, a.value
+        """,
+        "time_encodings": """
+            SELECT event_id,
+                   round(sin(2*pi()*((dayofweek(ts) + 6) % 7)/7.0), 6) AS time_day_sin,
+                   round(cos(2*pi()*((dayofweek(ts) + 6) % 7)/7.0), 6) AS time_day_cos,
+                   round(sin(2*pi()*hour(ts)/24.0), 6) AS time_hour_sin,
+                   round(cos(2*pi()*hour(ts)/24.0), 6) AS time_hour_cos
+            FROM events
+        """,
+        "tail_last5": """
+            SELECT user_id, ts, event_id, value FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 5
+        """,
+        "continuity_gaps": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_s
+              FROM events
+            )
+            SELECT user_id, round(max(gap_s), 6) AS max_gap_s, count(*) AS n_rows
+            FROM g GROUP BY 1
+        """,
+        "winsorize_tanh": """
+            WITH s AS (
+              SELECT quantile_cont(value, 0.001) AS lo,
+                     quantile_cont(value, 0.999) AS hi,
+                     stddev_samp(value) AS sigma
+              FROM events
+            )
+            SELECT event_id,
+                   round((exp(2*(least(greatest(value, lo), hi) / (3.0 * sigma))) - 1)
+                       / (exp(2*(least(greatest(value, lo), hi) / (3.0 * sigma))) + 1), 6) AS value_wt
+            FROM events CROSS JOIN s
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 1) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "join_agg_nation_revenue": """
+            SELECT n_name, round(sum(o_totalprice), 1) AS revenue, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "topk_orders": """
+            SELECT row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+                   o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            QUALIFY rk <= 10
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpeish
+            FROM documents
+        """,
+        "quality_scores": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                     len(regexp_extract_all(lower(text), '\bthe\b'))
+                     + len(regexp_extract_all(lower(text), '\band\b'))
+                     + len(regexp_extract_all(lower(text), '\bof\b'))
+                     + len(regexp_extract_all(lower(text), '\bel\b'))
+                     + len(regexp_extract_all(lower(text), '\bla\b'))
+                     + len(regexp_extract_all(lower(text), '\bde\b'))
+                     + len(regexp_extract_all(lower(text), '\bder\b'))
+                     + len(regexp_extract_all(lower(text), '\bund\b'))
+                     + len(regexp_extract_all(lower(text), '\bdas\b'))
+                     + len(regexp_extract_all(lower(text), '\ble\b'))
+                     + len(regexp_extract_all(lower(text), '\bla\b'))
+                     + len(regexp_extract_all(lower(text), '\bet\b')) AS stop_hits
+              FROM documents
+            )
+            SELECT doc_id, n_chars AS q_n_chars, n_words AS q_n_words,
+                   round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END, 6) AS q_punct_ratio,
+                   round(CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0.0 END, 6) AS q_stopword_ratio,
+                   round(CASE WHEN n_words > 0 THEN (n_chars - n_words + 1)::DOUBLE / n_words ELSE 0.0 END, 6) AS q_mean_word_len,
+                   round(least(n_words / 20.0, 1.0) * 0.4
+                       + least((CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0.0 END) * 5.0, 1.0) * 0.3
+                       + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0.0 END) * 4.0, 1.0)) * 0.3, 6) AS q_score
+            FROM q
+        """,
+        "langid": r"""
+            WITH v AS (
+              SELECT doc_id, lang,
+                     len(regexp_extract_all(lower(text), '\bder\b'))
+                     + len(regexp_extract_all(lower(text), '\bund\b'))
+                     + len(regexp_extract_all(lower(text), '\bdas\b')) AS v_de,
+                     len(regexp_extract_all(lower(text), '\bthe\b'))
+                     + len(regexp_extract_all(lower(text), '\band\b'))
+                     + len(regexp_extract_all(lower(text), '\bof\b')) AS v_en,
+                     len(regexp_extract_all(lower(text), '\bel\b'))
+                     + len(regexp_extract_all(lower(text), '\bla\b'))
+                     + len(regexp_extract_all(lower(text), '\bde\b')) AS v_es,
+                     len(regexp_extract_all(lower(text), '\ble\b'))
+                     + len(regexp_extract_all(lower(text), '\bla\b'))
+                     + len(regexp_extract_all(lower(text), '\bet\b')) AS v_fr
+              FROM documents
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(v_de, v_en, v_es, v_fr) = 0 THEN 'und'
+                        WHEN v_fr >= v_es AND v_fr >= v_en AND v_fr >= v_de THEN 'fr'
+                        WHEN v_es >= v_en AND v_es >= v_de THEN 'es'
+                        WHEN v_en >= v_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM v
+        """,
+        "fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                           '\s+', ' ', 'g'))) AS doc_fingerprint
+            FROM documents
+        """,
+        "knn_cosine_top3": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     CASE WHEN sqrt(list_dot_product(c.v, c.v)) > 0
+                               AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+                          THEN list_dot_product(c.v, q.qv)
+                               / (sqrt(list_dot_product(c.v, c.v))
+                                  * sqrt(list_dot_product(q.qv, q.qv)))
+                          ELSE 0.0 END AS cosine
+              FROM c CROSS JOIN q
+            )
+            SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM scored
+            QUALIFY rank <= 3
+        """,
+        "embed_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0
+                               AND sqrt(list_dot_product(b.v, b.v)) > 0
+                          THEN list_dot_product(a.v, b.v)
+                               / (sqrt(list_dot_product(a.v, a.v))
+                                  * sqrt(list_dot_product(b.v, b.v)))
+                          ELSE 0.0 END AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cosine, 6) AS cosine
+            FROM p WHERE cosine >= 0.4
+        """,
+        "jaccard_3gram_pairs": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(regexp_replace(text, '[^\w\s]', '', 'g'))), '\s+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                          ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                              for i in range(1, len(w) - 1)])
+                     END AS shingles
+              FROM words
+            ),
+            ex AS (
+              SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+            ),
+            rare AS (
+              SELECT shingle FROM ex GROUP BY 1 HAVING count(*) <= 1000
+            ),
+            exf AS (SELECT ex.* FROM ex JOIN rare USING (shingle)),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.n_sh AS na, b.n_sh AS nb, count(*) AS n_inter
+              FROM exf a JOIN exf b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(n_inter::DOUBLE / (na + nb - n_inter), 6) AS jaccard
+            FROM inter
+            WHERE n_inter::DOUBLE / (na + nb - n_inter) >= 0.5
+        """,
+    }

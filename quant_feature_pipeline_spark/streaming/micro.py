@@ -1,0 +1,83 @@
+"""Structured-Streaming equivalents of the reference's online
+micro-batch mode (`/root/reference/unified_feature_pipeline.py:284-531`:
+poll the bar cache, recompute an aligned tail window).
+
+Spark-first mapping (SURVEY.md §2.9):
+- micro-batch "online" mode → ``readStream`` + ``Trigger.AvailableNow``
+  over the bar table directory
+- late/duplicate handling → watermark + dropDuplicates on (entity, ts)
+- tumbling resample → ``window(ts, tf)`` agg with watermark
+- sessionization → ``session_window(ts, gap)``
+
+These run in the sandbox via file-source streams on parquet dirs; in
+production the source would be Kafka/Iceberg-CDC with identical plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import tf_interval
+
+
+def stream_bars_from_dir(
+    spark: SparkSession, path: str, schema=None, max_files_per_trigger: int = 10
+) -> DataFrame:
+    reader = spark.readStream.format("parquet").option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.schema(spark.read.parquet(path).schema)
+    return reader.load(path)
+
+
+def streaming_resample(
+    stream: DataFrame,
+    tf: str,
+    watermark: str = "10 minutes",
+    by: str = "entity",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming tumbling OHLCV with late-data watermark; same agg dict
+    as the batch resample (A1)."""
+    # watermarks require TIMESTAMP_LTZ; parquet from other engines is NTZ
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(by), F.window(F.col(ts_col), tf_interval(tf)).alias("w"))
+        .agg(
+            F.min_by("open", ts_col).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", ts_col).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.count(F.lit(1)).alias("bar_count"),
+        )
+        .select(by, F.col("w.end").alias(ts_col), "open", "high", "low", "close", "volume", "bar_count")
+    )
+
+
+def streaming_session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    by: str = "entity",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based session windows (the built-in streaming analog of
+    operators.sessionize)."""
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(by), F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            by,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

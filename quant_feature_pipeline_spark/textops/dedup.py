@@ -1,0 +1,217 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB): never compare all pairs. MinHash signatures are
+computed JVM-side (shingle → xxhash64 per seed → array_min), banded, and
+candidate pairs come from an equi-join on (band_idx, band_hash) — the
+classic shingle→minhash→band→bucket-join pipeline. The only shuffle keys
+are 8-byte band hashes. SimHash uses one vectorized Arrow pandas_udf
+(numpy bit-packing; no built-in expresses 64-lane bit voting cleanly) and
+then exact/1-2-bit-probe bucket joins. Verification (exact Jaccard on
+candidate pairs) uses array_intersect/array_union on the (bounded)
+shingle arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def shingles(text_col: str, n: int = 3, out: str = "shingles"):
+    """Distinct word n-gram array (JVM-side). n=1 → distinct words."""
+    words = F.split(F.trim(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))), r"\s+")
+    if n == 1:
+        return F.array_distinct(words).alias(out)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    ).alias(out)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>[num_perm]) — sig[i] = min over shingles of
+    xxhash64(shingle, i)."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
+    return sh.select(F.col(id_col), sig.alias("minhash_sig"), F.col("shingles"))
+
+
+def minhash_lsh_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = 0.7,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded MinHash, optionally verified
+    with exact shingle Jaccard. Output: (id_a, id_b, jaccard)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("shingles"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.hash(F.slice("minhash_sig", b * r + 1, r)).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "shingles", "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    out = pairs.select("id_a", "id_b", jac)
+    if jaccard_threshold is not None:
+        out = out.filter(F.col("jaccard") >= jaccard_threshold)
+    return out
+
+
+_SIMHASH_RET = T.LongType()
+
+
+@F.pandas_udf(_SIMHASH_RET)
+def _simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word unigrams — vectorized numpy bit voting."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        words = pd.unique(pd.Series(str(t).lower().split()))
+        if len(words) == 0:
+            continue
+        hashes = pd.util.hash_array(words.astype(object)).astype(np.uint64)
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(hashes)  # (+1/-1 vote per word)
+        sim = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    return df.withColumn(out, _simhash_udf(F.col(text_col)))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Hamming-near pairs via the pigeonhole block trick: split the 64-bit
+    simhash into ``blocks`` chunks; any pair within ``max_hamming <
+    blocks`` bits must agree on >=1 chunk → equi-join per chunk, then
+    exact popcount verify (bit_count is JVM-side)."""
+    width = 64 // blocks
+    sh = simhash64(df.select(id_col, text_col), text_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted-index join (each
+    pair is generated once per shared shingle, then grouped) — the
+    exact-but-quadratic-worst-case baseline the LSH variant approximates.
+    Shuffle key = shingle, so common-shingle skew is the hazard; cap with
+    a document-frequency filter like a real pipeline would."""
+    sh = df.select(F.col(id_col), shingles(text_col, shingle_n)).select(
+        id_col, F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    # drop ubiquitous shingles (df > 1000) — they only create skew
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(F.col("df_") <= 1000)
+    sh = sh.join(F.broadcast(rare.select("shingle")), "shingle")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard")
+    return inter.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)

