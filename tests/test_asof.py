@@ -1,0 +1,134 @@
+"""As-of join: all three Spark strategies vs the pandas merge_asof oracle
+(the reference's own operator, `/root/reference/step4_merge_features.py:522-535`),
+across direction / exact-match / tolerance, with edge timestamps per
+FIXTURES.md F5: exact boundary matches, mid-bucket, before-all-right."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from quant_feature_pipeline_spark.operators.asof import asof_join
+
+from .conftest import T0, assert_frame_close
+
+STRATEGIES = ["union_ffill", "sorted_merge", "bucketed"]
+
+
+def _left_right(seed=7):
+    rng = np.random.RandomState(seed)
+    frames_l, frames_r = [], []
+    for e in ("A", "B", "HOT"):
+        n = 300 if e == "HOT" else 60
+        lts = sorted(
+            T0 + datetime.timedelta(seconds=int(s))
+            for s in rng.choice(range(0, 36000), size=n, replace=False)
+        )
+        frames_l.append(
+            pd.DataFrame({"entity": e, "ts": lts, "lval": rng.randn(n)})
+        )
+        # right axis: 15-minute marks, includes exact-boundary collisions
+        rts = [T0 + datetime.timedelta(minutes=15 * k) for k in range(0, 40)]
+        frames_r.append(
+            pd.DataFrame({"entity": e, "ts": rts, "rval": rng.randn(len(rts))})
+        )
+    left = pd.concat(frames_l, ignore_index=True)
+    # plant exact matches and a left row before all right rows
+    left.loc[0, "ts"] = T0 - datetime.timedelta(minutes=5)
+    left.loc[1, "ts"] = T0 + datetime.timedelta(minutes=15)
+    right = pd.concat(frames_r, ignore_index=True)
+    # entity present on left only
+    ghost = pd.DataFrame({"entity": ["GHOST"], "ts": [T0], "lval": [1.0]})
+    return pd.concat([left, ghost], ignore_index=True), right
+
+
+def _oracle(left, right, direction, allow_exact, tol_s):
+    out = []
+    for e, lg in left.groupby("entity"):
+        rg = right[right.entity == e].drop(columns=["entity"]).sort_values("ts")
+        lg = lg.sort_values("ts")
+        rg = rg.rename(columns={"rval": "rval"})
+        rg["matched_ts"] = rg["ts"]
+        if rg.empty:
+            m = lg.copy()
+            m["rval"] = np.nan
+            m["matched_ts"] = pd.NaT
+        else:
+            m = pd.merge_asof(
+                lg,
+                rg,
+                on="ts",
+                direction=direction,
+                allow_exact_matches=allow_exact,
+                tolerance=pd.Timedelta(seconds=tol_s) if tol_s else None,
+            )
+        out.append(m)
+    return pd.concat(out, ignore_index=True)
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+@pytest.mark.parametrize(
+    "direction,allow_exact,tol_s",
+    [
+        ("backward", True, None),
+        ("backward", False, None),
+        ("backward", True, 600),
+        ("forward", True, None),
+        ("forward", False, None),
+    ],
+)
+def test_asof_matches_pandas(spark, strategy, direction, allow_exact, tol_s):
+    if strategy == "bucketed" and direction != "backward":
+        pytest.skip("bucketed implements backward only")
+    lpdf, rpdf = _left_right()
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    got = asof_join(
+        left,
+        right,
+        direction=direction,
+        allow_exact_matches=allow_exact,
+        tolerance_s=tol_s,
+        strategy=strategy,
+    ).toPandas()
+    want = _oracle(lpdf, rpdf, direction, allow_exact, tol_s)
+    assert_frame_close(got, want, keys=["entity", "ts", "lval"])
+
+
+def test_asof_nearest(spark):
+    lpdf, rpdf = _left_right()
+    got = asof_join(
+        spark.createDataFrame(lpdf),
+        spark.createDataFrame(rpdf),
+        direction="nearest",
+    ).toPandas()
+    want = _oracle(lpdf, rpdf, "nearest", True, None)
+    assert_frame_close(got, want, keys=["entity", "ts", "lval"])
+
+
+def test_asof_prefix(spark):
+    lpdf, rpdf = _left_right()
+    got = asof_join(
+        spark.createDataFrame(lpdf),
+        spark.createDataFrame(rpdf),
+        right_prefix="15m_",
+    )
+    assert "15m_rval" in got.columns and "15m_matched_ts" in got.columns
+
+
+@pytest.mark.parametrize("bucket_s", [900, 3600, 86400])
+def test_asof_bucketed_bucket_sizes(spark, bucket_s):
+    """Bucket size must not change results — boundary carry correctness."""
+    lpdf, rpdf = _left_right()
+    from quant_feature_pipeline_spark.operators.asof import asof_join_bucketed
+
+    got = asof_join_bucketed(
+        spark.createDataFrame(lpdf),
+        spark.createDataFrame(rpdf),
+        bucket_s=bucket_s,
+    ).toPandas()
+    want = _oracle(lpdf, rpdf, "backward", True, None)
+    assert_frame_close(got, want, keys=["entity", "ts", "lval"])

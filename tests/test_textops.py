@@ -1,0 +1,138 @@
+"""Training-data ops: dedup family, similarity search, text quality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from quant_feature_pipeline_spark.operators.dedup import dedup_exact, dup_groups
+from quant_feature_pipeline_spark.textops.dedup import (
+    minhash_lsh_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from quant_feature_pipeline_spark.textops.quality import (
+    fingerprint,
+    langid_heuristic,
+    quality_scores,
+    token_count,
+)
+from quant_feature_pipeline_spark.textops.similarity import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 0
+        (3, "el rapido zorro marron salta sobre el perro perezoso junto la orilla"),
+        (4, "der schnelle braune fuchs springt uber den faulen hund und das ufer"),
+        (5, "completely different content about spark window aggregation engines"),
+        (6, "THE QUICK BROWN FOX! jumps over the lazy dog near the river bank today"),  # fmt-only edit of 0
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_dedup_exact(spark):
+    docs = _docs(spark)
+    kept = dedup_exact(docs, order_col="doc_id").toPandas()
+    assert 1 not in kept["doc_id"].tolist()
+    assert 0 in kept["doc_id"].tolist()
+    groups = dup_groups(docs).toPandas()
+    assert groups["n_dups"].max() == 2 and len(groups) == 6
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark)
+    pairs = minhash_lsh_dup_pairs(
+        docs, num_perm=64, bands=16, jaccard_threshold=0.5
+    ).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in found  # exact dup always caught
+    assert (0, 2) in found  # one-word edit
+    assert not any(5 in p for p in found)
+
+
+def test_minhash_jaccard_exactness(spark):
+    """The jaccard column on verified pairs is EXACT (computed on shingle
+    sets), so (0,1) must be 1.0."""
+    docs = _docs(spark)
+    pairs = minhash_lsh_dup_pairs(docs, jaccard_threshold=None).toPandas()
+    j01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["jaccard"]
+    assert len(j01) == 1 and j01.iloc[0] == 1.0
+
+
+def test_simhash_pairs(spark):
+    docs = _docs(spark)
+    pairs = simhash_dup_pairs(docs, max_hamming=10).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in found
+    assert pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["hamming"].iloc[0] == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    docs = _docs(spark)
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3).toPandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in found and (0, 2) in found
+    # formatting-only edit: same after normalization -> jaccard 1.0
+    j06 = pairs[(pairs.id_a == 0) & (pairs.id_b == 6)]
+    assert len(j06) == 1 and j06["jaccard"].iloc[0] == 1.0
+
+
+def test_quality_and_langid_and_tokens(spark):
+    docs = _docs(spark)
+    q = quality_scores(docs).toPandas().set_index("doc_id")
+    assert (q["q_score"].between(0, 1)).all()
+    assert q.loc[0, "q_stopword_ratio"] > 0
+    lang = langid_heuristic(docs).toPandas().set_index("doc_id")
+    assert lang.loc[0, "lang_pred"] == "en"
+    assert lang.loc[3, "lang_pred"] == "es"
+    assert lang.loc[4, "lang_pred"] == "de"
+    tc = token_count(docs).toPandas().set_index("doc_id")
+    assert tc.loc[0, "n_tokens"] == 14
+    fp = fingerprint(docs).toPandas().set_index("doc_id")
+    assert fp.loc[0, "doc_fingerprint"] == fp.loc[6, "doc_fingerprint"]
+    assert fp.loc[0, "doc_fingerprint"] != fp.loc[2, "doc_fingerprint"]
+
+
+def _vecs(spark, n=40, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, dim)
+    v[1] = v[0] + 1e-3  # near dup of 0
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [r.astype("float32").tolist() for r in v]})
+    return spark.createDataFrame(pdf), v
+
+
+def test_cosine_topk_vs_numpy(spark):
+    df, v = _vecs(spark)
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk_bruteforce(df, q, k=4).toPandas()
+    v64 = np.array([np.array(x, dtype=np.float32).astype(np.float64) for x in v])
+    norms = np.linalg.norm(v64, axis=1)
+    for qid in range(3):
+        cos = (v64 @ v64[qid]) / (norms * norms[qid])
+        order = np.lexsort((np.arange(len(cos)), -cos))[:4]
+        g = got[got.query_id == qid].sort_values("rank")
+        assert g["vec_id"].tolist() == order.tolist()
+        np.testing.assert_allclose(g["cosine"].to_numpy(), cos[order], rtol=1e-9)
+
+
+def test_embedding_near_dup_lsh_vs_exact(spark):
+    df, _ = _vecs(spark)
+    exact = embedding_near_dup_pairs(df, cosine_threshold=0.99, exact=True).toPandas()
+    lsh = embedding_near_dup_pairs(
+        df, cosine_threshold=0.99, exact=False, n_planes=8
+    ).toPandas()
+    assert (0, 1) in set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+    # LSH candidates are a subset; the planted near-dup must survive
+    assert (0, 1) in set(map(tuple, lsh[["id_a", "id_b"]].to_numpy()))
+    assert set(map(tuple, lsh[["id_a", "id_b"]].to_numpy())) <= set(
+        map(tuple, exact[["id_a", "id_b"]].to_numpy())
+    )
