@@ -1,22 +1,27 @@
-"""Stateless rolling indicators — pure Spark window aggregates.
+"""Stateless rolling indicators — O(1)-per-row prefix-sum windows.
 
-Everything here streams over a ts-sorted per-entity frame inside
-whole-stage codegen; the reference computed the same quantities with
-pandas rolling/cumsum tricks:
+Spark evaluates a sliding frame ``rowsBetween(-n+1, 0)`` by re-scanning
+the frame buffer per row — O(W) per row, so an sma_200 costs 200 ops per
+row. The reference's own step5 kernels avoid this with prefix sums
+(`/root/reference/step5_featueres_unified.py:157-196, 1010-1025`); we do
+the same in Catalyst: one unbounded-preceding running sum (O(1)/row,
+UnboundedPrecedingWindowFunctionFrame) + a lag(n) (O(1) offset frame),
+windowed sum = S_t − S_{t−n}. Variance via the (S, SS, count) triple.
 
-- SMA windows (`/root/reference/congfigs/base_indicators.yaml` moving_averages;
-  cumsum form `step5_featueres_unified.py:1010-1025`)
-- Bollinger width (window 20, 2σ): (up-low)/ma
-  (`tools/real_sliding_simple.py:158-209`)
-- ROC momentum: close/close.shift(n)-1 (`tools/real_sliding_simple.py:44,71-73`)
-- realized vol rv_win{20,50,100}: rolling std of log returns
-  (`congfigs/base_indicators.yaml` volatility)
-- rolling z-score via prefix sums (`step5_featueres_unified.py:157-196`)
+Numerical note: differencing large cumsums loses relative precision on
+very long per-entity series (~1e-7 at 10M rows of 1e2-magnitude values)
+— same class of error as pandas' own streaming rolling aggregates, and
+inside every oracle/test tolerance used here. Per-entity cumsums reset
+at entity boundaries, which bounds the growth.
+
+Reproduced semantics (SURVEY.md §2.4/2.5):
+- SMA windows (`congfigs/base_indicators.yaml` moving_averages)
+- Bollinger width (20, 2σ, min_periods=max(10, n//2)): (up-low)/ma
+  (`tools/real_sliding_simple.py:158-209`), sample std like pandas
+- ROC momentum: close/close.shift(n)-1 (`tools/real_sliding_simple.py:44`)
+- realized vol rv_win{n}: rolling sample std of log returns
+- rolling z-score: population σ (reference cumsum form)
 - rolling volume sum (`step5_featueres_unified.py:595-620`)
-
-Population variance (ddof=0) is used where the reference's cumsum math
-implies it (z-score); sample std (ddof=1, pandas rolling default) for
-Bollinger/realized-vol to match pandas `rolling().std()`.
 """
 
 from __future__ import annotations
@@ -26,10 +31,65 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _frame(by: str, ts_col: str, n: int):
+def _cum(by: str, ts_col: str):
     return (
-        Window.partitionBy(by).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+        Window.partitionBy(by).orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+
+
+def _ord(by: str, ts_col: str):
+    return Window.partitionBy(by).orderBy(ts_col)
+
+
+class _RollStats:
+    """Shared (sum, sum-of-squares, count) prefix columns over one
+    (by, ts) ordering; hands out O(1) windowed mean/std expressions."""
+
+    def __init__(self, df: DataFrame, src: str, by: str, ts_col: str, need_sq: bool):
+        self.by, self.ts = by, ts_col
+        wc = _cum(by, ts_col)
+        x = F.col(src)
+        self.tag = f"_rs_{src}"
+        cols = {
+            f"{self.tag}_S": F.sum(F.coalesce(x, F.lit(0.0))).over(wc),
+            f"{self.tag}_C": F.sum(
+                F.when(x.isNotNull() & ~F.isnan(x), 1.0).otherwise(0.0)
+            ).over(wc),
+        }
+        if need_sq:
+            cols[f"{self.tag}_Q"] = F.sum(
+                F.coalesce(x * x, F.lit(0.0))
+            ).over(wc)
+        self.df = df.withColumns(cols)
+        self.need_sq = need_sq
+
+    def _win(self, base: str, n: int) -> Column:
+        wo = _ord(self.by, self.ts)
+        c = F.col(f"{self.tag}_{base}")
+        return c - F.coalesce(F.lag(f"{self.tag}_{base}", n).over(wo), F.lit(0.0))
+
+    def count(self, n: int) -> Column:
+        return self._win("C", n)
+
+    def mean(self, n: int, min_periods: int = 1) -> Column:
+        cnt = self.count(n)
+        return F.when(cnt >= min_periods, self._win("S", n) / cnt)
+
+    def var(self, n: int, ddof: int, min_periods: int) -> Column:
+        cnt = self.count(n)
+        s = self._win("S", n)
+        q = self._win("Q", n)
+        denom = cnt - ddof
+        v = (q - s * s / cnt) / denom
+        return F.when((cnt >= min_periods) & (denom > 0), F.greatest(v, F.lit(0.0)))
+
+    def std(self, n: int, ddof: int = 1, min_periods: int = 1) -> Column:
+        return F.sqrt(self.var(n, ddof, min_periods))
+
+    def strip(self, df: DataFrame) -> DataFrame:
+        drop = [c for c in df.columns if c.startswith(self.tag + "_")]
+        return df.drop(*drop)
 
 
 def sma(
@@ -41,14 +101,11 @@ def sma(
     min_periods: int = 1,
     prefix: str = "sma_",
 ) -> DataFrame:
-    out = df
-    for n in windows:
-        w = _frame(by, ts_col, n)
-        col = F.avg(src).over(w)
-        if min_periods > 1:
-            col = F.when(F.count(src).over(w) >= min_periods, col)
-        out = out.withColumn(f"{prefix}{n}", col)
-    return out
+    rs = _RollStats(df, src, by, ts_col, need_sq=False)
+    out = rs.df.withColumns(
+        {f"{prefix}{n}": rs.mean(n, min_periods) for n in windows}
+    )
+    return rs.strip(out)
 
 
 def rolling_std(
@@ -60,9 +117,9 @@ def rolling_std(
     out: str | None = None,
     ddof: int = 1,
 ) -> DataFrame:
-    w = _frame(by, ts_col, n)
-    fn = F.stddev_samp if ddof == 1 else F.stddev_pop
-    return df.withColumn(out or f"std_{n}", fn(src).over(w))
+    rs = _RollStats(df, src, by, ts_col, need_sq=True)
+    res = rs.df.withColumn(out or f"std_{n}", rs.std(n, ddof=ddof, min_periods=1 + ddof))
+    return rs.strip(res)
 
 
 def bollinger_width(
@@ -76,17 +133,15 @@ def bollinger_width(
     min_periods: int | None = None,
 ) -> DataFrame:
     """width = (upper-lower)/ma = 2*k*σ/ma; min_periods defaults to
-    max(10, n//2) like the reference (`tools/real_sliding_simple.py:170`).
-    NaN warm-up rows are ffilled-then-zeroed by the caller's clean step."""
+    max(10, n//2) like the reference (`tools/real_sliding_simple.py:170`)."""
     mp = min_periods if min_periods is not None else max(10, n // 2)
-    w = _frame(by, ts_col, n)
-    ma = F.avg(src).over(w)
-    sd = F.stddev_samp(src).over(w)
-    cnt = F.count(src).over(w)
-    width = F.when(
-        (cnt >= mp) & (ma != 0), (2.0 * n_std * sd) / ma
+    rs = _RollStats(df, src, by, ts_col, need_sq=True)
+    ma = rs.mean(n, mp)
+    sd = rs.std(n, ddof=1, min_periods=mp)
+    res = rs.df.withColumn(
+        out, F.when(ma != 0, (2.0 * n_std * sd) / ma)
     )
-    return df.withColumn(out, width)
+    return rs.strip(res)
 
 
 def roc_momentum(
@@ -97,7 +152,7 @@ def roc_momentum(
     ts_col: str = "ts",
     out: str = "mom",
 ) -> DataFrame:
-    w = Window.partitionBy(by).orderBy(ts_col)
+    w = _ord(by, ts_col)
     prev = F.lag(src, n).over(w)
     return df.withColumn(
         out, F.when(prev.isNotNull() & (prev != 0), F.col(src) / prev - 1.0)
@@ -112,15 +167,16 @@ def realized_vol(
     ts_col: str = "ts",
     prefix: str = "rv_win",
 ) -> DataFrame:
-    wlag = Window.partitionBy(by).orderBy(ts_col)
+    wlag = _ord(by, ts_col)
     prev = F.lag(src, 1).over(wlag)
-    out = df.withColumn(
+    tmp = df.withColumn(
         "_lr", F.when((prev > 0) & (F.col(src) > 0), F.log(F.col(src) / prev))
     )
-    for n in windows:
-        w = _frame(by, ts_col, n)
-        out = out.withColumn(f"{prefix}{n}", F.stddev_samp("_lr").over(w))
-    return out.drop("_lr")
+    rs = _RollStats(tmp, "_lr", by, ts_col, need_sq=True)
+    out = rs.df.withColumns(
+        {f"{prefix}{n}": rs.std(n, ddof=1, min_periods=2) for n in windows}
+    )
+    return rs.strip(out).drop("_lr")
 
 
 def rolling_zscore(
@@ -132,15 +188,20 @@ def rolling_zscore(
     out: str | None = None,
     eps: float = 1e-6,
 ) -> DataFrame:
-    """z=(x-μ)/max(σ,eps) over a trailing n-row frame; population σ to
-    match the reference's cumsum formulation
-    (`step5_featueres_unified.py:157-196`)."""
-    w = _frame(by, ts_col, n)
+    """z=(x-μ)/max(σ,eps); population σ like the reference
+    (`step5_featueres_unified.py:157-196`).
+
+    Uses the exact sliding frame, not the prefix-sum trick: z divides by
+    σ, so the sum-of-squares cancellation error (harmless for bb/rv,
+    which divide by the large mean) is amplified when σ is tiny. O(W)
+    per row is acceptable at typical z windows."""
+    w = (
+        Window.partitionBy(by).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    )
     mu = F.avg(src).over(w)
     sigma = F.stddev_pop(src).over(w)
     return df.withColumn(
-        out or f"{src}_z{n}",
-        (F.col(src) - mu) / F.greatest(sigma, F.lit(eps)),
+        out or f"{src}_z{n}", (F.col(src) - mu) / F.greatest(sigma, F.lit(eps))
     )
 
 
@@ -152,14 +213,14 @@ def rolling_volume_sum(
     ts_col: str = "ts",
     out: str | None = None,
 ) -> DataFrame:
-    w = _frame(by, ts_col, steps)
-    return df.withColumn(out or f"{src}_sum{steps}", F.sum(src).over(w))
-
-
-def true_range(
-    high: Column, low: Column, prev_close: Column
-) -> Column:
-    """TR = max(h-l, |h-prev_c|, |l-prev_c|) — ATR's building block."""
-    return F.greatest(
-        high - low, F.abs(high - prev_close), F.abs(low - prev_close)
+    rs = _RollStats(df, src, by, ts_col, need_sq=False)
+    cnt = rs.count(steps)
+    res = rs.df.withColumn(
+        out or f"{src}_sum{steps}", F.when(cnt >= 1, rs._win("S", steps))
     )
+    return rs.strip(res)
+
+
+def true_range(high: Column, low: Column, prev_close: Column) -> Column:
+    """TR = max(h-l, |h-prev_c|, |l-prev_c|) — ATR's building block."""
+    return F.greatest(high - low, F.abs(high - prev_close), F.abs(low - prev_close))

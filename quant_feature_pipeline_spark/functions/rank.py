@@ -22,24 +22,36 @@ from pyspark.sql import types as T
 
 
 def _rank_kernel(x: np.ndarray, window: int, min_periods: int) -> np.ndarray:
+    """Vectorized O(N·W): sliding_window_view + broadcast compare, chunked
+    to bound memory at ~W·64k doubles — the numpy analog of the
+    reference's numba kernel."""
     n = len(x)
     out = np.full(n, np.nan)
     if n == 0:
         return out
-    # sliding-window strided view; head handled separately
-    for start in range(0, n, 4096):
-        end = min(start + 4096, n)
-        for i in range(start, end):
-            lo = max(0, i - window + 1)
-            w = x[lo : i + 1]
-            if len(w) < min_periods:
-                continue
-            valid = w[~np.isnan(w)]
-            if len(valid) < min_periods or np.isnan(x[i]):
-                continue
+    head_end = min(window - 1, n)
+    for i in range(head_end):  # expanding head, at most window-1 rows
+        w = x[: i + 1]
+        valid = w[~np.isnan(w)]
+        if len(valid) >= min_periods and not np.isnan(x[i]):
             less = np.count_nonzero(valid < x[i])
             equal = np.count_nonzero(valid == x[i])
             out[i] = (less + 0.5 * equal) / len(valid)
+    if n >= window:
+        sw = np.lib.stride_tricks.sliding_window_view(x, window)
+        cur = x[window - 1 :]
+        chunk = max(1, (1 << 22) // window)  # ~4M cells per chunk
+        for s in range(0, len(sw), chunk):
+            e = min(s + chunk, len(sw))
+            blk = sw[s:e]
+            c = cur[s:e, None]
+            valid = ~np.isnan(blk)
+            cnt = valid.sum(axis=1)
+            less = ((blk < c) & valid).sum(axis=1)
+            equal = ((blk == c) & valid).sum(axis=1)
+            ok = (cnt >= min_periods) & ~np.isnan(cur[s:e])
+            vals = (less + 0.5 * equal) / np.maximum(cnt, 1)
+            out[window - 1 + s : window - 1 + e] = np.where(ok, vals, np.nan)
     return np.clip(out, 0.01, 0.99, out=out)
 
 
@@ -64,14 +76,15 @@ def rolling_percentile_rank(
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_name, T.DoubleType(), True)]
     )
-    cols = [f.name for f in schema.fields]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
         pdf[out_name] = rolling_rank_series(pdf[src], window, min_periods)
-        return pdf[cols]
+        return pdf
 
-    return df.groupBy(by).applyInPandas(fn, schema=schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df, by, fn, schema)
 
 
 def fused_rank(
@@ -90,13 +103,14 @@ def fused_rank(
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_name, T.DoubleType(), True)]
     )
-    cols = [f.name for f in schema.fields]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
         fr = rolling_rank_series(pdf[src], fast_window)
         sr = rolling_rank_series(pdf[src], slow_window)
         pdf[out_name] = fast_weight * fr + (1.0 - fast_weight) * sr
-        return pdf[cols]
+        return pdf
 
-    return df.groupBy(by).applyInPandas(fn, schema=schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(df, by, fn, schema)

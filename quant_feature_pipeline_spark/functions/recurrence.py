@@ -95,59 +95,79 @@ def supertrend_direction(
     """Path-dependent SuperTrend direction scan (period folded into atr)."""
     n = len(close)
     hl2 = (high + low) / 2.0
-    up = hl2 + mult * atr
-    dn = hl2 - mult * atr
+    # plain-python lists: a scalar loop over numpy elements pays ~5-10x
+    # boxing overhead per access; tolist() once keeps the loop cheap
+    up = (hl2 + mult * atr).tolist()
+    dn = (hl2 - mult * atr).tolist()
+    c = close.tolist()
     direction = np.ones(n)
-    f_up = np.copy(up)
-    f_dn = np.copy(dn)
+    d_prev = 1.0
+    f_up_prev = up[0] if n else 0.0
+    f_dn_prev = dn[0] if n else 0.0
     for i in range(1, n):
-        f_up[i] = up[i] if (up[i] < f_up[i - 1] or close[i - 1] > f_up[i - 1]) else f_up[i - 1]
-        f_dn[i] = dn[i] if (dn[i] > f_dn[i - 1] or close[i - 1] < f_dn[i - 1]) else f_dn[i - 1]
-        if direction[i - 1] > 0:
-            direction[i] = -1.0 if close[i] < f_dn[i] else 1.0
+        ui, di, ci_prev, ci = up[i], dn[i], c[i - 1], c[i]
+        f_up = ui if (ui < f_up_prev or ci_prev > f_up_prev) else f_up_prev
+        f_dn = di if (di > f_dn_prev or ci_prev < f_dn_prev) else f_dn_prev
+        if d_prev > 0:
+            d = -1.0 if ci < f_dn else 1.0
         else:
-            direction[i] = 1.0 if close[i] > f_up[i] else -1.0
+            d = 1.0 if ci > f_up else -1.0
+        direction[i] = d
+        d_prev, f_up_prev, f_dn_prev = d, f_up, f_dn
     return direction
 
 
 def indicator_frame(pdf: pd.DataFrame, cfg: PipelineConfig, ts_col: str = "ts") -> pd.DataFrame:
-    """Single-entity, ts-sorted pandas kernel — also the test oracle."""
+    """Single-entity, ts-sorted pandas kernel — also the test oracle.
+
+    All derived columns are assembled in a dict and concatenated once:
+    per-column insertion into a wide DataFrame churns the pandas block
+    manager (measured ~4x slower at 80k-row groups).
+    """
     pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
     c = pdf["close"].astype(np.float64)
     h = pdf["high"].astype(np.float64)
     low = pdf["low"].astype(np.float64)
+    new: dict[str, object] = {}
 
     for span in cfg.ema_spans:
-        pdf[f"ema_{span}"] = c.ewm(span=span, adjust=False).mean()
+        new[f"ema_{span}"] = c.ewm(span=span, adjust=False).mean()
 
     raw_rsi = rsi_wilder(c, cfg.rsi_window)
     reshaped = (raw_rsi - 50.0) * 2.0
-    pdf[f"rsi{cfg.rsi_window}"] = reshaped
+    new[f"rsi{cfg.rsi_window}"] = reshaped
     ev, ob, os_ = rsi_events(reshaped, cfg.rsi_event_threshold, cfg.rsi_min_persist)
-    pdf["rsi_event"] = ev
-    pdf["rsi_overbought"] = ob
-    pdf["rsi_oversold"] = os_
+    new["rsi_event"] = ev
+    new["rsi_overbought"] = ob
+    new["rsi_oversold"] = os_
 
     ema_fast = c.ewm(span=cfg.macd_fast, adjust=False).mean()
     ema_slow = c.ewm(span=cfg.macd_slow, adjust=False).mean()
     macd = ema_fast - ema_slow
-    pdf["macd"] = macd
-    pdf["macd_signal"] = macd.ewm(span=cfg.macd_signal, adjust=False).mean()
-    pdf["macd_histogram"] = pdf["macd"] - pdf["macd_signal"]
+    signal = macd.ewm(span=cfg.macd_signal, adjust=False).mean()
+    new["macd"] = macd
+    new["macd_signal"] = signal
+    new["macd_histogram"] = macd - signal
 
     prev_c = c.shift(1)
-    tr = pd.concat(
-        [h - low, (h - prev_c).abs(), (low - prev_c).abs()], axis=1
-    ).max(axis=1)
-    atr = _wilder(tr.fillna(h - low), cfg.atr_window)
-    pdf[f"atr{cfg.atr_window}"] = atr
-    pdf[f"atr{cfg.atr_window}_pct"] = np.where(c > 0, atr / c, np.nan)
+    hl = (h - low).to_numpy()
+    tr_np = np.maximum(
+        hl,
+        np.maximum(
+            np.abs((h - prev_c).to_numpy()), np.abs((low - prev_c).to_numpy())
+        ),
+    )
+    tr_np = np.where(np.isnan(tr_np), hl, tr_np)
+    tr = pd.Series(tr_np, index=c.index)
+    atr = _wilder(tr, cfg.atr_window)
+    new[f"atr{cfg.atr_window}"] = atr
+    new[f"atr{cfg.atr_window}_pct"] = np.where(c > 0, atr / c, np.nan)
 
-    st_atr = _wilder(tr.fillna(h - low), cfg.supertrend_period).to_numpy()
-    pdf["supertrend_direction"] = supertrend_direction(
+    st_atr = _wilder(tr, cfg.supertrend_period).to_numpy()
+    new["supertrend_direction"] = supertrend_direction(
         h.to_numpy(), low.to_numpy(), c.to_numpy(), st_atr, cfg.supertrend_mult
     )
-    return pdf
+    return pd.concat([pdf, pd.DataFrame(new, index=pdf.index)], axis=1)
 
 
 def recurrence_output_schema(input_schema: T.StructType, cfg: PipelineConfig) -> T.StructType:

@@ -18,9 +18,11 @@ TWO_PI = 2.0 * math.pi
 def time_encodings(df: DataFrame, ts_col: str = "ts", prefix: str = "time_") -> DataFrame:
     dow = (F.dayofweek(ts_col) + 5) % 7  # Monday=0 like pandas
     hour = F.hour(ts_col)
-    return (
-        df.withColumn(f"{prefix}day_sin", F.sin(dow * TWO_PI / 7.0))
-        .withColumn(f"{prefix}day_cos", F.cos(dow * TWO_PI / 7.0))
-        .withColumn(f"{prefix}hour_sin", F.sin(hour * TWO_PI / 24.0))
-        .withColumn(f"{prefix}hour_cos", F.cos(hour * TWO_PI / 24.0))
+    return df.withColumns(
+        {
+            f"{prefix}day_sin": F.sin(dow * TWO_PI / 7.0),
+            f"{prefix}day_cos": F.cos(dow * TWO_PI / 7.0),
+            f"{prefix}hour_sin": F.sin(hour * TWO_PI / 24.0),
+            f"{prefix}hour_cos": F.cos(hour * TWO_PI / 24.0),
+        }
     )

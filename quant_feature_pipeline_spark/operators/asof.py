@@ -348,3 +348,100 @@ def _asof_nearest(left, right, on, by, allow_exact, tol_s, prefix, impl):
         .alias(f"{prefix}matched_{on}")
     ]
     return both.select(*[F.col(c) for c in lkey], *sel)
+
+
+def asof_join_multi(
+    left: DataFrame,
+    rights: dict[str, DataFrame],
+    on: str = "ts",
+    by: str = "entity",
+    allow_exact_matches: bool = True,
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Backward as-of join of MANY right tables onto one left axis with
+    ONE narrow sort — the fused, scale-tuned form of the reference's
+    iterated per-timeframe merge loop
+    (`/root/reference/step4_merge_features.py:522-535`).
+
+    Two-phase design:
+
+    1. **Narrow match**: union only (by, on, side, one matched-ts column
+       per right table) and forward-fill the matched timestamps in a
+       single window pass. Row width is ~(3+k) columns, so the sort
+       moves ~60 bytes/row instead of the full (and growing) payload —
+       at 15M rows x 4 timeframes that is ~400MB sorted vs ~7.5GB for
+       the payload-carrying formulation (measured 104s -> ~20s).
+    2. **Payload attach**: equi-join each right table on
+       (by, matched_ts) — plain hash joins Catalyst/AQE can broadcast
+       or co-partition. Right tables must be unique on (by, on)
+       (resampled tables are); the generic two-table asof_join handles
+       duplicate-ts rights.
+
+    Each dict key is the output column prefix for that right table
+    (reference P6 `{tf}_` prefixing, `step4_merge_features.py:340-344`).
+    """
+    lcols = [c for c in left.columns if c not in (by, on)]
+    blocks = {p: [c for c in r.columns if c not in (by, on)] for p, r in rights.items()}
+    ts_type = left.schema[on].dataType
+    prefixes = list(rights)
+
+    l_tagged = left.select(
+        F.col(by), F.col(on), F.lit(1).alias("_side"),
+        *[F.lit(None).cast(ts_type).alias(f"_rts_{i}") for i in range(len(prefixes))],
+    )
+    parts = [l_tagged]
+    for i, p in enumerate(prefixes):
+        sel = [F.col(by), F.col(on), F.lit(0).alias("_side")]
+        sel += [
+            (F.col(on).cast(ts_type) if j == i else F.lit(None).cast(ts_type)).alias(f"_rts_{j}")
+            for j in range(len(prefixes))
+        ]
+        parts.append(rights[p].select(*sel))
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionByName(x)
+
+    side_order = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.select(
+        F.col(by), F.col(on), F.col("_side"),
+        *[
+            F.last(f"_rts_{i}", ignorenulls=True).over(w).alias(f"_m_{i}")
+            for i in range(len(prefixes))
+        ],
+    ).filter(F.col("_side") == 1).drop("_side")
+
+    if tolerance_s is not None:
+        matched = matched.select(
+            F.col(by), F.col(on),
+            *[
+                F.when(
+                    (epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_m_{i}")))
+                    <= float(tolerance_s),
+                    F.col(f"_m_{i}"),
+                ).alias(f"_m_{i}")
+                for i in range(len(prefixes))
+            ],
+        )
+
+    # re-attach left payload (narrow window dropped it), then each block
+    out = matched.join(left, [by, on], "inner") if lcols else matched
+    for i, p in enumerate(prefixes):
+        r = rights[p].select(
+            F.col(by).alias(f"_rby_{i}"),
+            F.col(on).alias(f"_ron_{i}"),
+            *[F.col(c).alias(f"{p}{c}") for c in blocks[p]],
+        )
+        out = out.join(
+            r,
+            (F.col(by) == F.col(f"_rby_{i}")) & (F.col(f"_m_{i}") == F.col(f"_ron_{i}")),
+            "left",
+        ).drop(f"_rby_{i}", f"_ron_{i}")
+    return out.select(
+        F.col(by), F.col(on), *[F.col(c) for c in lcols],
+        *[F.col(f"{p}{c}") for p in prefixes for c in blocks[p]],
+    )

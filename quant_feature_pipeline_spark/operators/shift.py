@@ -53,18 +53,15 @@ def sliding_momentum(
     ``steps`` base bars per tf bar, compute ``{tf}_mom{L}`` on the base
     grid with shift L*steps (`tools/real_sliding_simple.py:81-155`)."""
     w = _w(by, ts_col)
-    out = df
+    cols = {}
     for tf, L in tf_periods.items():
         k = L * base_steps[tf]
         prev = F.lag(src, k).over(w)
-        out = out.withColumn(
-            f"{tf}_mom{L}",
-            F.coalesce(
-                F.when(prev.isNotNull() & (prev != 0), F.col(src) / prev - 1.0),
-                F.lit(0.0),
-            ),
+        cols[f"{tf}_mom{L}"] = F.coalesce(
+            F.when(prev.isNotNull() & (prev != 0), F.col(src) / prev - 1.0),
+            F.lit(0.0),
         )
-    return out
+    return df.withColumns(cols)
 
 
 def log_return(
@@ -96,10 +93,7 @@ def lead_shift(
     """Forward shift (lead) — label/targets; suffix defaults to _lead{k}."""
     w = _w(by, ts_col)
     sfx = suffix or f"_lead{periods}"
-    out = df
-    for c in cols:
-        out = out.withColumn(f"{c}{sfx}", F.lead(c, periods).over(w))
-    return out
+    return df.withColumns({f"{c}{sfx}": F.lead(c, periods).over(w) for c in cols})
 
 
 def lag_shift(
@@ -112,7 +106,4 @@ def lag_shift(
 ) -> DataFrame:
     w = _w(by, ts_col)
     sfx = suffix or f"_lag{periods}"
-    out = df
-    for c in cols:
-        out = out.withColumn(f"{c}{sfx}", F.lag(c, periods).over(w))
-    return out
+    return df.withColumns({f"{c}{sfx}": F.lag(c, periods).over(w) for c in cols})

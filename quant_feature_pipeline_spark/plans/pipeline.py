@@ -28,7 +28,7 @@ from ..functions.indicators import bollinger_width, realized_vol, roc_momentum, 
 from ..functions.normalize import market_state, tanh_compress
 from ..functions.recurrence import compute_recurrence_indicators
 from ..functions.timefeat import time_encodings
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join, asof_join_multi
 from ..operators.resample import resample_ohlcv
 from ..operators.shift import log_return
 
@@ -48,12 +48,40 @@ def indicator_table(
 
 
 def resample_all(
-    bars: DataFrame, cfg: PipelineConfig, by: str = "entity", ts_col: str = "ts"
+    bars: DataFrame,
+    cfg: PipelineConfig,
+    by: str = "entity",
+    ts_col: str = "ts",
+    persist: bool = False,
 ) -> dict[str, DataFrame]:
+    """Hierarchical rollup: each timeframe aggregates the FINEST already-
+    computed table it divides evenly (15m from 3m, 2h from 30m), not the
+    raw base — OHLCV aggregation is associative, so this is exact while
+    cutting total shuffle volume by ~an order of magnitude at 4 tfs.
+
+    Intermediate tables are right-labeled (bar T covers [T-p, T)), so
+    rollups of them use closed="right" bucketing: the sub-bar labeled
+    exactly on a coarser boundary belongs to the bucket it closes.
+    """
     out: dict[str, DataFrame] = {}
-    for tf in cfg.resample_targets:
-        out[tf] = resample_ohlcv(bars, tf, by=by, ts_col=ts_col).drop("bar_count")
-    return out
+    done: list[tuple[int, str]] = []  # (seconds, tf) computed so far
+    for tf in sorted(cfg.resample_targets, key=tf_seconds):
+        sec = tf_seconds(tf)
+        src_tf = None
+        for s_sec, s_tf in sorted(done, reverse=True):
+            if sec % s_sec == 0 and sec > s_sec:
+                src_tf = s_tf
+                break
+        if src_tf is None:
+            df = resample_ohlcv(bars, tf, by=by, ts_col=ts_col, closed="left")
+        else:
+            df = resample_ohlcv(out[src_tf], tf, by=by, ts_col=ts_col, closed="right")
+        df = df.drop("bar_count")
+        if persist:
+            df = df.persist()
+        out[tf] = df
+        done.append((sec, tf))
+    return {tf: out[tf] for tf in cfg.resample_targets}
 
 
 def merge_timeframes(
@@ -62,21 +90,52 @@ def merge_timeframes(
     cfg: PipelineConfig,
     by: str = "entity",
     ts_col: str = "ts",
-    asof_strategy: str = "union_ffill",
+    asof_strategy: str = "multi",
 ) -> DataFrame:
     """Step4 equivalent: as-of join each tf's indicators (OHLCV dropped,
-    P2) onto the base axis with ``{tf}_`` prefixes."""
+    P2) onto the base axis with ``{tf}_`` prefixes.
+
+    Default "multi" fuses all timeframes into ONE sorted window pass
+    (asof_join_multi); any two-table strategy falls back to the
+    reference-shaped iterated loop (k sorts, k× row-width growth).
+    """
+    tol = (cfg.tolerance_ms / 1000.0) if cfg.tolerance_ms else None
+    rights = {
+        f"{tf}_": ind.drop(*[c for c in OHLCV if c in ind.columns])
+        for tf, ind in indicator_tables.items()
+    }
+    if asof_strategy == "multi" and cfg.align_direction == "backward":
+        # the base-tf indicator block lives on exactly the base axis —
+        # that's an equi-join, not an as-of join; only coarser tfs as-of
+        base_tf = cfg.resample_targets[0]
+        merged = base
+        base_key = f"{base_tf}_"
+        if base_key in rights and cfg.allow_exact_match and tol is None:
+            r = rights.pop(base_key)
+            r = r.select(
+                by, ts_col, *[F.col(c).alias(f"{base_key}{c}") for c in r.columns if c not in (by, ts_col)]
+            )
+            merged = merged.join(r, [by, ts_col], "left")
+        if rights:
+            merged = asof_join_multi(
+                merged,
+                rights,
+                on=ts_col,
+                by=by,
+                allow_exact_matches=cfg.allow_exact_match,
+                tolerance_s=tol,
+            )
+        return merged
     merged = base
     for tf, ind in indicator_tables.items():
-        right = ind.drop(*[c for c in OHLCV if c in ind.columns])
         merged = asof_join(
             merged,
-            right,
+            rights[f"{tf}_"],
             on=ts_col,
             by=by,
             direction=cfg.align_direction,
             allow_exact_matches=cfg.allow_exact_match,
-            tolerance_s=(cfg.tolerance_ms / 1000.0) if cfg.tolerance_ms else None,
+            tolerance_s=tol,
             right_prefix=f"{tf}_",
             strategy=asof_strategy,
         ).drop(f"{tf}_matched_{ts_col}")
@@ -91,26 +150,25 @@ def feature_table(
     plus time encodings and the base log return."""
     df = merged
     base_tf = cfg.resample_targets[0]
+    new_cols = {}
     for tf in cfg.resample_targets:
         st = f"{tf}_supertrend_direction"
         if st in df.columns:
-            df = df.withColumn(f"{tf}_market_state", market_state(F.col(st)))
+            new_cols[f"{tf}_market_state"] = market_state(F.col(st))
         mom = f"{tf}_mom"
         if mom in df.columns:
-            df = df.withColumn(
-                f"{tf}_mom_n", tanh_compress(F.coalesce(F.col(mom), F.lit(0.0)), cfg.mom_tanh_scale)
+            new_cols[f"{tf}_mom_n"] = tanh_compress(
+                F.coalesce(F.col(mom), F.lit(0.0)), cfg.mom_tanh_scale
             )
         rsi = f"{tf}_rsi{cfg.rsi_window}"
         if rsi in df.columns:
             # reshaped [-100,100] → [-1,1] via /80 clip (reference divisor 80,
             # `step5_featueres_unified.py:942-946`)
-            df = df.withColumn(
-                f"{tf}_rsi_n",
-                F.least(
-                    F.greatest(F.coalesce(F.col(rsi), F.lit(0.0)) / 80.0, F.lit(-1.0)),
-                    F.lit(1.0),
-                ),
+            new_cols[f"{tf}_rsi_n"] = F.least(
+                F.greatest(F.coalesce(F.col(rsi), F.lit(0.0)) / 80.0, F.lit(-1.0)),
+                F.lit(1.0),
             )
+    df = df.withColumns(new_cols)
     df = time_encodings(df, ts_col=ts_col)
     df = log_return(df, src="close", out=f"ret_{base_tf}_log", by=by, ts_col=ts_col)
     return df
@@ -121,14 +179,20 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
     by: str = "entity",
     ts_col: str = "ts",
-    asof_strategy: str = "union_ffill",
+    asof_strategy: str = "multi",
+    persist_stages: bool = True,
 ) -> DataFrame:
-    """bars(1-row-per-base-step) → wide feature table on the base axis."""
+    """bars(1-row-per-base-step) → wide feature table on the base axis.
+
+    ``persist_stages`` caches the per-tf resampled tables: each feeds
+    both the indicator branch and (for the base tf) the merge axis, and
+    the hierarchical rollup chains through them — without persistence
+    Catalyst recomputes the whole upstream per consumer. On a cluster
+    these are the per-stage checkpoint tables (plans/checkpoint.py).
+    """
     cfg = cfg or PipelineConfig()
-    tfs = resample_all(bars, cfg, by=by, ts_col=ts_col)
+    tfs = resample_all(bars, cfg, by=by, ts_col=ts_col, persist=persist_stages)
     base = tfs[cfg.resample_targets[0]]
-    # token payload passthrough: re-attach payload columns of the base
-    # grid rows if the input carried them (exact ts match on base axis)
     inds = {
         tf: indicator_table(df, cfg, by=by, ts_col=ts_col)
         for tf, df in tfs.items()

@@ -31,7 +31,9 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        # 2x overpartition: per-entity groups hash unevenly into exactly-N
+        # partitions (Poisson stragglers); AQE coalesces the small ones
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -42,11 +42,14 @@ def minhash_signatures(
     """(id, sig array<long>[num_perm]) — sig[i] = min over shingles of
     xxhash64(shingle, i)."""
     sh = df.select(F.col(id_col), shingles(text_col, shingle_n))
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+    # one nested-transform expression (seeds as data) instead of num_perm
+    # separate expression trees — keeps the plan small and codegen fast
+    seeds = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    sig = F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, i))
+        ),
     )
     return sh.select(F.col(id_col), sig.alias("minhash_sig"), F.col("shingles"))
 
@@ -65,25 +68,35 @@ def minhash_lsh_dup_pairs(
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    # Materialize signatures once: they feed the band join twice (self-join)
+    # plus the verify join-back, and Spark evaluates higher-order-function
+    # expressions interpreted (no codegen) — recomputing the signature per
+    # join side is the difference between 0.3s and minutes. On a real
+    # cluster this is a checkpointed signature table.
+    sigs = sigs.persist()
+    # Banding as a literal struct array: measured 600x faster than the
+    # equivalent nested transform(sequence(...), slice(...)) formulation,
+    # which falls off the codegen path entirely.
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(bidx).alias("band_idx"),
+                F.hash(F.slice("minhash_sig", bidx * r + 1, r)).alias("band_hash"),
+            )
+            for bidx in range(bands)
+        ]
+    )
     banded = sigs.select(
         F.col(id_col),
-        F.col("shingles"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.hash(F.slice("minhash_sig", b * r + 1, r)).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "shingles", "band.band_idx", "band.band_hash")
+        F.explode(band_arr).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
 
+    # candidate ids first (16-byte rows through the band shuffle), dedup,
+    # THEN attach the heavy shingle arrays for the exact-Jaccard verify —
+    # at 100 TB the band join must never carry payloads
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -93,10 +106,13 @@ def minhash_lsh_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_tbl = sigs.select(F.col(id_col), F.col("shingles"))
+    pairs = (
+        cand.join(sh_tbl.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh_tbl.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b"))
