@@ -23,7 +23,13 @@ from pyspark.sql.window import Window
 from quant_feature_pipeline_spark.config import PipelineConfig
 from quant_feature_pipeline_spark.operators.asof import asof_join
 from quant_feature_pipeline_spark.operators.fill import bfill, ffill
-from quant_feature_pipeline_spark.operators.resample import continuity_stats, resample_ohlcv
+from quant_feature_pipeline_spark.operators.resample import (
+    continuity_stats,
+    resample_ohlcv,
+    rolling_bars,
+)
+from quant_feature_pipeline_spark.operators.shift import boundary_momentum
+from quant_feature_pipeline_spark.operators.skew import salted_agg
 from quant_feature_pipeline_spark.operators.sessionize import session_stats
 from quant_feature_pipeline_spark.operators.dedup import dedup_exact
 from quant_feature_pipeline_spark.functions.indicators import (
@@ -411,6 +417,105 @@ def q_flagship_features(spark, sf_dir):
     )
 
 
+def q_boundary_momentum(spark, sf_dir):
+    """W2 boundary-anchored momentum (L=3, steps=5) on the event grid."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").alias("close")
+    )
+    out = boundary_momentum(ev, lookback=3, steps=5, method="boundary", by="user_id")
+    return out.select("user_id", "ts", F.round("bmom", R6).alias("bmom"))
+
+
+def q_rolling_bars_5(spark, sf_dir):
+    """A3 sliding 5-row OHLCV preview bars."""
+    out = rolling_bars(_ticks(spark, sf_dir), 5, by="user_id")
+    return out.select(
+        "user_id", "ts", "open", "high", "low", "close",
+        F.round("volume", R2).alias("volume"), "bar_count",
+    )
+
+
+def q_union_dedup_merge(spark, sf_dir):
+    """J3 history∪increment merge with keep-last semantics."""
+    hist = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value", F.lit(0).alias("_gen")
+    )
+    inc = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("user_id", "event_id", "ts", (F.col("value") * 2).alias("value"), F.lit(1).alias("_gen"))
+    )
+    merged = dedup_keep_last(
+        hist.unionByName(inc), keys=("user_id", "event_id"), order_col="_gen"
+    )
+    return merged.drop("_gen")
+
+
+def q_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation == plain GROUP BY (skew path)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = salted_agg(ev, ["user_id"], {"value": "sum", "ts": "max"}, buckets=8)
+    return out.select(
+        "user_id", F.round("sum_value", R2).alias("sum_value"),
+        F.col("max_ts"),
+    )
+
+
+def q_power_calibration(spark, sf_dir):
+    """W10 power calibration: y = clip(x,0,1)^gamma, gamma from p95."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("value") / 500.0).alias("x")
+    )
+    stats = ev.agg(F.percentile("x", F.lit(0.95)).alias("q"))
+    j = ev.crossJoin(F.broadcast(stats))
+    gamma = F.log(F.lit(0.8)) / F.log(F.col("q"))
+    clipped = F.least(F.greatest(F.col("x"), F.lit(0.0)), F.lit(1.0))
+    return j.select(
+        "event_id", F.round(F.pow(clipped, gamma), R6).alias("x_cal")
+    )
+
+
+def q_market_state(spark, sf_dir):
+    """W13 threshold state vs per-user mean: {-1, +1}."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    mean = F.avg("value").over(Window.partitionBy("user_id"))
+    return ev.withColumn(
+        "state", F.when(F.col("value") >= mean, F.lit(1.0)).otherwise(F.lit(-1.0))
+    )
+
+
+def q_tpch_q3like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey).filter(
+        (F.col("o_orderdate") < F.lit("1998-01-01"))
+        & (F.col("l_shipdate") > F.lit("1998-01-01"))
+    )
+    g = j.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return g.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+
+def q_tpch_q5like(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 1).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_features(spark, "/root/testdata/sf0.001")
@@ -454,6 +559,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "recurrence_indicators": q_recurrence_indicators,
         "flagship_features": q_flagship_features,
+        "boundary_momentum": q_boundary_momentum,
+        "rolling_bars_5": q_rolling_bars_5,
+        "union_dedup_merge": q_union_dedup_merge,
+        "salted_agg": q_salted_agg,
+        "power_calibration": q_power_calibration,
+        "market_state": q_market_state,
+        "tpch_q3like": q_tpch_q3like,
+        "tpch_q5like": q_tpch_q5like,
     }
 
 
@@ -819,5 +932,81 @@ def oracle_sql() -> dict[str, str]:
                    round(n_inter::DOUBLE / (na + nb - n_inter), 6) AS jaccard
             FROM inter
             WHERE n_inter::DOUBLE / (na + nb - n_inter) >= 0.5
+        """,
+        "boundary_momentum": """
+            WITH r AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+              FROM events
+            ),
+            b AS (
+              SELECT *, first_value(value) OVER (PARTITION BY user_id, rn // 5 ORDER BY rn) AS bs
+              FROM r
+            ),
+            m AS (
+              SELECT user_id, ts, rn, bs,
+                     lag(bs, 15) OVER (PARTITION BY user_id ORDER BY rn) AS pbs
+              FROM b
+            )
+            SELECT user_id, ts,
+                   round(coalesce(CASE WHEN rn >= 15 AND pbs IS NOT NULL AND pbs <> 0
+                                  THEN bs / pbs - 1.0 END, 0.0), 6) AS bmom
+            FROM m
+        """,
+        "rolling_bars_5": """
+            SELECT user_id, ts,
+                   first_value(value) OVER w AS open,
+                   max(value) OVER w AS high,
+                   min(value) OVER w AS low,
+                   value AS close,
+                   round(count(*) OVER w * 1.0, 2) AS volume,
+                   count(*) OVER w AS bar_count
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "union_dedup_merge": """
+            WITH hist AS (SELECT user_id, event_id, ts, value, 0 AS gen FROM events),
+            inc AS (SELECT user_id, event_id, ts, value * 2 AS value, 1 AS gen
+                    FROM events WHERE event_id % 10 = 0),
+            u AS (SELECT * FROM hist UNION ALL SELECT * FROM inc)
+            SELECT user_id, event_id, ts, value FROM u
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_id ORDER BY gen DESC) = 1
+        """,
+        "salted_agg": """
+            SELECT user_id, round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+            FROM events GROUP BY 1
+        """,
+        "power_calibration": """
+            WITH x AS (SELECT event_id, value / 500.0 AS x FROM events),
+            s AS (SELECT quantile_cont(x, 0.95) AS q FROM x)
+            SELECT event_id,
+                   round(pow(least(greatest(x, 0.0), 1.0), ln(0.8) / ln(q)), 6) AS x_cal
+            FROM x CROSS JOIN s
+        """,
+        "market_state": """
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN value >= avg(value) OVER (PARTITION BY user_id)
+                        THEN 1.0 ELSE -1.0 END AS state
+            FROM events
+        """,
+        "tpch_q3like": """
+            WITH g AS (
+              SELECT o_orderkey, o_orderdate,
+                     round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY 1, 2
+            )
+            SELECT o_orderkey, o_orderdate, revenue,
+                   row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rk
+            FROM g QUALIFY rk <= 10
+        """,
+        "tpch_q5like": """
+            SELECT r_name, round(sum(o_totalprice), 1) AS revenue, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
         """,
     }

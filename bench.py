@@ -228,7 +228,7 @@ def _write_bench_md(payload: dict) -> None:
         lines += [
             "\n## North-rule token pipeline (as-of join + rolling indicators)\n",
             f"- input: {tp['rows']:,} token rows ({TOKEN_ENTITIES} entities × {TOKEN_MINUTES:,} minutes)",
-            f"- local[{tp['cpus']}]: {tp['sec']:.1f}s → **{tp['rows_per_sec']:,.0f} sequences/sec**",
+            f"- {tp['executors']} executor(s) x {tp['cores_per_exec']} cores: {tp['sec']:.1f}s → **{tp['rows_per_sec']:,.0f} sequences/sec**",
         ]
     if sc:
         n_lo, n_hi = sc["pair"]

@@ -1,0 +1,144 @@
+"""F6 — final feature-matrix contract (the reference's NPZ equivalent).
+
+The reference exports ``observations (N,45) float32`` + feature_names +
+feature_groups + schema_sha + per-group health gates
+(`/root/reference/step5_featueres_unified.py:1237-1261`,
+`tools/export_utils.py:166-225, 268-278`). Spark-first: the matrix is a
+``features array<float>`` column (float32 downcast) beside the key
+columns; the manifest is a plain dict; health checks are one aggregate
+job over range masks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .schema_contract import schema_sha
+
+# per-group valid ranges (`tools/export_utils.py:211-225`)
+GROUP_RANGES: dict[str, tuple[float, float]] = {
+    "market_state": (-1.0, 1.0),
+    "momentum": (-1.0, 1.0),
+    "bb_width": (0.0, 1.0),
+    "volume": (0.0, 1.0),
+    "rsi": (-1.0, 1.0),
+    "price": (0.0, float("inf")),
+    "time": (-1.0, 1.0),
+    "return": (float("-inf"), float("inf")),
+    "atr": (0.0, 1.0),
+    "rv": (0.0, float("inf")),
+}
+
+
+def group_of(name: str) -> str:
+    """Feature-name → group, reference naming conventions
+    (`📊 README_RL2_Featueres_特征数据.md` §9)."""
+    n = name.lower()
+    if "market_state" in n:
+        return "market_state"
+    if "rsi" in n:
+        return "rsi"
+    if "bb_width" in n:
+        return "bb_width"
+    if "mom" in n:
+        return "momentum"
+    if "volume" in n:
+        return "volume"
+    if "atr" in n:
+        return "atr"
+    if "rv" in n:
+        return "rv"
+    if n.startswith("time_"):
+        return "time"
+    if "ret_" in n or "return" in n:
+        return "return"
+    if n in ("open", "high", "low", "close") or "_close" in n or "price" in n:
+        return "price"
+    return "other"
+
+
+@dataclass
+class FeatureManifest:
+    feature_names: list[str]
+    feature_groups: dict[str, str]
+    schema_sha: str
+
+    def to_dict(self) -> dict:
+        return {
+            "feature_names": self.feature_names,
+            "feature_groups": self.feature_groups,
+            "schema_sha": self.schema_sha,
+            "n_features": len(self.feature_names),
+        }
+
+
+def assemble_features(
+    df: DataFrame,
+    feature_cols: list[str],
+    by: str = "entity",
+    ts_col: str = "ts",
+    out: str = "features",
+    keep_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, FeatureManifest]:
+    """Dense float32 feature vector + manifest — NPZ-equivalent table.
+
+    Nulls → 0.0 like the reference's final clean (`tools/export_utils.py:72-94`).
+    """
+    vec = F.array(
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).cast("float")
+            for c in feature_cols
+        ]
+    )
+    res = df.select(
+        by, ts_col, *keep_cols, vec.alias(out)
+    )
+    manifest = FeatureManifest(
+        feature_names=list(feature_cols),
+        feature_groups={c: group_of(c) for c in feature_cols},
+        schema_sha=schema_sha(feature_cols),
+    )
+    return res, manifest
+
+
+def health_check(
+    df: DataFrame, feature_cols: list[str], sample_ranges: dict[str, tuple[float, float]] | None = None
+) -> DataFrame:
+    """A7 — per-feature mean/std/min/max + out-of-range ratio
+    (`tools/export_utils.py:166-225`). One aggregate job; unpivoted
+    result (feature, mean, std, min, max, oor_ratio, group)."""
+    ranges = sample_ranges or GROUP_RANGES
+    aggs = []
+    for c in feature_cols:
+        g = group_of(c)
+        lo, hi = ranges.get(g, (float("-inf"), float("inf")))
+        x = F.col(c)
+        aggs += [
+            F.avg(x).alias(f"{c}__mean"),
+            F.stddev_samp(x).alias(f"{c}__std"),
+            F.min(x).alias(f"{c}__min"),
+            F.max(x).alias(f"{c}__max"),
+            F.avg(
+                F.when(x.isNull() | (x < lo) | (x > hi), 1.0).otherwise(0.0)
+            ).alias(f"{c}__oor"),
+        ]
+    row = df.agg(*aggs).first()
+    spark = df.sparkSession
+    data = [
+        (
+            c,
+            group_of(c),
+            row[f"{c}__mean"],
+            row[f"{c}__std"],
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+            row[f"{c}__oor"],
+        )
+        for c in feature_cols
+    ]
+    return spark.createDataFrame(
+        data, "feature string, grp string, mean double, std double, min double, max double, oor_ratio double"
+    )

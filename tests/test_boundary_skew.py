@@ -1,0 +1,161 @@
+"""W2 boundary momentum vs a literal replication of the reference loop
+(`step5_featueres_unified.py:320-424`), salting utilities, feature
+contract, streaming stateful EMA."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from quant_feature_pipeline_spark.operators.shift import boundary_momentum
+from quant_feature_pipeline_spark.operators.skew import (
+    add_salt,
+    salted_agg,
+    skewed_entity_report,
+)
+from quant_feature_pipeline_spark.plans.features_contract import (
+    assemble_features,
+    group_of,
+    health_check,
+)
+
+from .conftest import assert_frame_close, make_bars_pdf
+
+
+def _reference_loop(close: np.ndarray, L: int, steps: int, method: str, a: int = 0) -> np.ndarray:
+    """Direct transcription of the reference's positional semantics."""
+    n = len(close)
+    Ls = L * steps
+    out = np.full(n, np.nan)
+    min_start = Ls + a
+    if method == "point":
+        for i in range(min_start, n):
+            p = i - Ls
+            if p >= 0 and close[p] != 0:
+                out[i] = close[i] / close[p] - 1.0
+    elif method == "boundary":
+        for i in range(min_start, n):
+            cur = ((i - a) // steps) * steps + a
+            p = cur - Ls
+            if 0 <= p and cur < n and close[p] != 0:
+                out[i] = close[cur] / close[p] - 1.0
+    else:  # boundary_intra_avg
+        ref_shift = max(0, Ls - steps)
+        cs = np.cumsum(close)
+        for i in range(max(min_start, ref_shift + a), n):
+            start = ((i - a) // steps) * steps + a
+            if start > i:
+                continue
+            total = cs[i] - (cs[start - 1] if start > 0 else 0.0)
+            avg = total / (i - start + 1)
+            p = i - ref_shift
+            if p >= 0 and close[p] != 0:
+                out[i] = avg / close[p] - 1.0
+    return pd.Series(out).ffill().fillna(0.0).to_numpy()
+
+
+@pytest.mark.parametrize("method", ["point", "boundary", "boundary_intra_avg"])
+@pytest.mark.parametrize("anchor", [0, 2])
+def test_boundary_momentum_vs_reference(spark, method, anchor):
+    pdf = make_bars_pdf(n=200, entities=("A", "B"))
+    got = (
+        boundary_momentum(
+            spark.createDataFrame(pdf), lookback=3, steps=5, method=method,
+            anchor_steps=anchor, out="bmom",
+        )
+        .toPandas()
+        .sort_values(["entity", "ts"])
+    )
+    for e, g in pdf.groupby("entity"):
+        want = _reference_loop(
+            g.sort_values("ts")["close"].to_numpy(), 3, 5, method, anchor
+        )
+        np.testing.assert_allclose(
+            got[got.entity == e]["bmom"].to_numpy(), want, rtol=1e-9, atol=1e-12,
+            err_msg=f"{method} anchor={anchor} entity={e}",
+        )
+
+
+def test_salted_agg_equals_plain(spark):
+    pdf = make_bars_pdf(n=300, entities=("A", "B", "HOT"))
+    sdf = spark.createDataFrame(pdf)
+    got = salted_agg(
+        sdf, ["entity"], {"volume": "sum", "close": "max"}, buckets=8
+    ).toPandas()
+    want = (
+        sdf.groupBy("entity")
+        .agg(F.sum("volume").alias("sum_volume"), F.max("close").alias("max_close"))
+        .toPandas()
+    )
+    assert_frame_close(got, want[got.columns], keys=["entity"], rtol=1e-12)
+
+
+def test_salt_deterministic(spark):
+    pdf = make_bars_pdf(n=50, entities=("A",))
+    a = add_salt(spark.createDataFrame(pdf)).toPandas().sort_values("ts")["_salt"]
+    b = add_salt(spark.createDataFrame(pdf)).toPandas().sort_values("ts")["_salt"]
+    assert (a.to_numpy() == b.to_numpy()).all()
+    assert a.between(0, 7).all()
+
+
+def test_skewed_entity_report(spark):
+    pdf = pd.concat(
+        [make_bars_pdf(n=400, entities=("HOT",)), make_bars_pdf(n=40, entities=("A", "B"))]
+    )
+    rep = skewed_entity_report(spark.createDataFrame(pdf)).toPandas()
+    assert rep.iloc[0]["entity"] == "HOT"
+    assert rep.iloc[0]["share"] > 0.8
+
+
+def test_assemble_features_and_health(spark):
+    pdf = make_bars_pdf(n=100)
+    sdf = spark.createDataFrame(pdf)
+    feats, manifest = assemble_features(
+        sdf, ["open", "close", "volume"], keep_cols=()
+    )
+    row = feats.first()
+    assert len(row["features"]) == 3
+    assert manifest.schema_sha and len(manifest.feature_names) == 3
+    assert group_of("15m_rsi_n") == "rsi" and group_of("time_day_sin") == "time"
+    hc = health_check(sdf, ["close", "volume"]).toPandas().set_index("feature")
+    assert hc.loc["close", "min"] > 0
+    assert hc.loc["close", "oor_ratio"] == 0.0  # price >= 0 always holds
+
+
+def test_streaming_stateful_ema_matches_batch(spark, tmp_path):
+    """applyInPandasWithState EMA across micro-batches == batch ewm."""
+    from quant_feature_pipeline_spark.streaming.stateful import streaming_ema
+
+    pdf = make_bars_pdf(n=120, entities=("A", "B"))
+    src = str(tmp_path / "stream_src")
+    # two files -> with maxFilesPerTrigger=1, state must carry across batches
+    half = len(pdf) // 2
+    pdf_sorted = pdf.sort_values(["ts", "entity"]).reset_index(drop=True)
+    spark.createDataFrame(pdf_sorted.iloc[:half]).coalesce(1).write.mode("overwrite").parquet(src + "/a")
+    spark.createDataFrame(pdf_sorted.iloc[half:]).coalesce(1).write.mode("overwrite").parquet(src + "/b")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src + "/a").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = streaming_ema(stream, fast_span=12, slow_span=26)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ema_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM ema_stream").toPandas().sort_values(["entity", "ts"])
+    assert len(got) == len(pdf)
+    for e, g in pdf.groupby("entity"):
+        c = g.sort_values("ts")["close"].reset_index(drop=True)
+        want_fast = c.ewm(span=12, adjust=False).mean().to_numpy()
+        np.testing.assert_allclose(
+            got[got.entity == e]["ema_fast"].to_numpy(), want_fast, rtol=1e-9,
+        )
