@@ -516,6 +516,45 @@ def q_tpch_q5like(spark, sf_dir):
 
 
 
+def q_cube_agg(spark, sf_dir):
+    """Grouping-sets breadth: CUBE over returnflag/linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), R2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_distinct_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_token_passthrough(spark, sf_dir):
+    """North-rule invariant surface: synthesize the token table, derive
+    bars, run a filter+feature chain, return rows with the ORIGINAL
+    token arrays attached twice (tokens == tokens_orig must hold; the
+    driver's rows/schema check sees both columns). Rows-only."""
+    from quant_feature_pipeline_spark.sources.tokens import synth_token_table
+    from quant_feature_pipeline_spark.sources.bars import bars_from_tokens
+
+    tok = synth_token_table(spark, n_entities=4, minutes=500)
+    bars = bars_from_tokens(tok).filter(F.col("n_tok") > 8)
+    joined = bars.join(
+        tok.select("doc_id", F.col("tokens").alias("tokens_orig")), "doc_id"
+    )
+    return joined.select(
+        "entity", "ts", "close", "tokens", "tokens_orig",
+        (F.col("tokens") == F.col("tokens_orig")).alias("tokens_equal"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_features(spark, "/root/testdata/sf0.001")
@@ -567,6 +606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_state": q_market_state,
         "tpch_q3like": q_tpch_q3like,
         "tpch_q5like": q_tpch_q5like,
+        "cube_agg": q_cube_agg,
+        "distinct_agg": q_distinct_agg,
+        "token_passthrough": q_token_passthrough,
     }
 
 
@@ -1008,5 +1050,14 @@ def oracle_sql() -> dict[str, str]:
                         JOIN nation ON c_nationkey = n_nationkey
                         JOIN region ON n_regionkey = r_regionkey
             GROUP BY 1
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "distinct_agg": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY 1
         """,
     }

@@ -33,7 +33,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # cardinality is the window-parallelism unit — 64 entities keeps every
 # core busy at local[32], mirroring the >>N-entity reality at 10^12 rows.
 TOKEN_ENTITIES = 64
-TOKEN_MINUTES = 60_000
+TOKEN_MINUTES = 120_000
 
 HEADLINE = [
     "resample_ohlcv_15m",
