@@ -555,6 +555,38 @@ def q_token_passthrough(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing surface: synthetic binary media -> metadata
+    (JVM-side digest/size) + mapInPandas byte-stat features + video
+    frame-sample plan counts. Rows-only (no SQL oracle; decode is the
+    documented stub boundary)."""
+    from quant_feature_pipeline_spark.multimodal import (
+        attach_media_metadata,
+        decode_image_features,
+        frame_sample_plan,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, n=128)
+    meta = attach_media_metadata(media).select(
+        "media_id", "kind", "payload_bytes", "payload_sha1"
+    )
+    feats = decode_image_features(media)
+    frames = frame_sample_plan(media, every_ms=60000).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        meta.join(feats, "media_id", "left")
+        .join(frames, "media_id", "left")
+        .select(
+            "media_id", "kind", "payload_bytes", "payload_sha1",
+            F.round("feat_mean", R6).alias("feat_mean"),
+            F.round("feat_entropyish", R6).alias("feat_entropyish"),
+            F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_features(spark, "/root/testdata/sf0.001")
@@ -609,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "distinct_agg": q_distinct_agg,
         "token_passthrough": q_token_passthrough,
+        "media_features": q_media_features,
     }
 
 

@@ -82,3 +82,26 @@ def test_continuity_stats(spark):
     assert a["max_gap_s"] == 120.0
     assert a["n_rows"] == len(pdf[pdf.entity == "A"])
     assert 0.0 < a["missing_ratio"] < 0.2
+
+
+def test_read_csv_bars_adaptive_ts(spark, tmp_path):
+    """S3 — CSV scan with adaptive ts parsing (int epoch-ms vs string)."""
+    import pandas as pd
+
+    from quant_feature_pipeline_spark.sources.scan import read_csv_bars
+
+    pdf = make_bars_pdf(n=10, entities=("A",))
+    p1 = str(tmp_path / "ms.csv")
+    df1 = pdf.copy()
+    df1["timestamp"] = (df1["ts"].astype("int64") // 10**6).astype("int64")
+    df1.drop(columns=["ts"]).to_csv(p1, index=False)
+    got1 = read_csv_bars(spark, p1).toPandas().sort_values("ts").reset_index(drop=True)
+    assert got1["ts"].equals(pdf["ts"])
+    assert (got1["close"] - pdf["close"]).abs().max() < 1e-9
+
+    p2 = str(tmp_path / "str.csv")
+    df2 = pdf.copy()
+    df2["time"] = df2["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    df2.drop(columns=["ts"]).to_csv(p2, index=False)
+    got2 = read_csv_bars(spark, p2).toPandas().sort_values("ts").reset_index(drop=True)
+    assert got2["ts"].equals(pdf["ts"])
