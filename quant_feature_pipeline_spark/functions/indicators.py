@@ -49,7 +49,7 @@ class _RollStats:
     def __init__(self, df: DataFrame, src: str, by: str, ts_col: str, need_sq: bool):
         self.by, self.ts = by, ts_col
         wc = _cum(by, ts_col)
-        x = F.col(src)
+        x = F.col(src).cast("double")  # isnan/arith need floating input
         self.tag = f"_rs_{src}"
         cols = {
             f"{self.tag}_S": F.sum(F.coalesce(x, F.lit(0.0))).over(wc),

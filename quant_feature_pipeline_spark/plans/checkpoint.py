@@ -55,8 +55,12 @@ class Checkpointer:
         by: str = "entity",
         ts_col: str = "ts",
     ) -> str:
+        import time
+
         path = self._path(stage)
+        t0 = time.time()
         df.write.mode("overwrite").parquet(path)
+        write_s = time.time() - t0
         snap = self.spark.read.parquet(path)
         lineage_rows = (
             snap.groupBy(by)
@@ -66,10 +70,17 @@ class Checkpointer:
             )
             .collect()
         )
+        total_rows = sum(r["rows"] for r in lineage_rows)
         manifest = {
             "stage": stage,
             "columns": snap.columns,
             "schema_sha": schema_sha(snap.columns),
+            "metrics": {
+                "write_wall_s": round(write_s, 3),
+                "total_rows": total_rows,
+                "rows_per_sec": round(total_rows / write_s, 1) if write_s > 0 else None,
+                "n_partitions": snap.rdd.getNumPartitions(),
+            },
             "lineage": {r[by]: {"rows": r["rows"], "max_ts": r["max_ts"]} for r in lineage_rows},
         }
         with open(os.path.join(path, "_manifest.json"), "w") as fh:
