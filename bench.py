@@ -283,7 +283,8 @@ def main() -> None:
         payload["token_sequences_per_sec"] = round(scaling[f"exec{SCALE_4N}"]["rows_per_sec"], 1)
     payload["queries"] = {k: v["sec"] for k, v in queries_detail.items()}
     payload["value"] = round(sum(v["sec"] for v in queries_detail.values()), 3)
-    _write_bench_md(payload)
+    if not fast:  # --fast is a smoke run; don't clobber the full BENCH.md
+        _write_bench_md(payload)
     print(json.dumps(payload))
 
 
