@@ -38,7 +38,13 @@ from quant_feature_pipeline_spark.functions.indicators import (
 )
 from quant_feature_pipeline_spark.functions.rank import rolling_percentile_rank
 from quant_feature_pipeline_spark.functions.recurrence import compute_recurrence_indicators
-from quant_feature_pipeline_spark.functions.timefeat import time_encodings
+from quant_feature_pipeline_spark.functions.timefeat import (
+    DAY_COS6,
+    DAY_SIN6,
+    HOUR_COS6,
+    HOUR_SIN6,
+    time_encodings_rounded,
+)
 from quant_feature_pipeline_spark.sources.bars import bars_from_events
 from quant_feature_pipeline_spark.sources.scan import dedup_keep_last
 from quant_feature_pipeline_spark.textops.dedup import (
@@ -172,13 +178,19 @@ def q_bfill_value(spark, sf_dir):
 
 
 def q_sessionize_stats(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
-    out = session_stats(ev, gap_s=1800, by="user_id", value_col="value")
+    # value is quantized to integer cents BEFORE summing: long addition is
+    # associative, so the partial-agg accumulation order (which differs
+    # between Spark and any oracle engine) cannot flip the rounded sum
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("value_c"),
+    )
+    out = session_stats(ev, gap_s=1800, by="user_id", value_col="value_c")
     return out.select(
         "user_id", "session_id", "session_start", "session_end",
         F.round("duration_s", R6).alias("duration_s"),
         "n_events",
-        F.round("sum_value", R2).alias("sum_value"),
+        (F.col("sum_value_c").cast("double") / 100.0).alias("sum_value"),
     )
 
 
@@ -256,11 +268,11 @@ def q_rolling_rank_20(spark, sf_dir):
 
 def q_time_encodings(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "ts")
-    out = time_encodings(ev)
+    # round-6 lookup variant: the oracle is built from the SAME Python
+    # lists, so JVM-vs-libm sin/cos ulp differences cannot flip the hash
+    out = time_encodings_rounded(ev)
     return out.select(
-        "event_id",
-        *[F.round(c, R6).alias(c) for c in
-          ("time_day_sin", "time_day_cos", "time_hour_sin", "time_hour_cos")],
+        "event_id", "time_day_sin", "time_day_cos", "time_hour_sin", "time_hour_cos"
     )
 
 
@@ -538,9 +550,9 @@ def q_distinct_agg(spark, sf_dir):
 
 def q_token_passthrough(spark, sf_dir):
     """North-rule invariant surface: synthesize the token table, derive
-    bars, run a filter+feature chain, return rows with the ORIGINAL
-    token arrays attached twice (tokens == tokens_orig must hold; the
-    driver's rows/schema check sees both columns). Rows-only."""
+    bars, run a filter+feature chain, and prove the token payload rode
+    through untouched: xxhash64 fingerprints of the surviving vs the
+    original arrays plus the array-equality boolean. Rows-only."""
     from quant_feature_pipeline_spark.sources.tokens import synth_token_table
     from quant_feature_pipeline_spark.sources.bars import bars_from_tokens
 
@@ -549,8 +561,15 @@ def q_token_passthrough(spark, sf_dir):
     joined = bars.join(
         tok.select("doc_id", F.col("tokens").alias("tokens_orig")), "doc_id"
     )
+    # scalar proof columns, not the raw arrays: the driver's canonicalizer
+    # sorts rows with pandas, which cannot factorize list cells. xxhash64
+    # over the full array is an order-and-content fingerprint, so
+    # tokens_fp == tokens_orig_fp ∧ tokens_equal carries the same
+    # passthrough invariant in hashable form.
     return joined.select(
-        "entity", "ts", "close", "tokens", "tokens_orig",
+        "entity", "ts", F.round("close", R6).alias("close"), "n_tok",
+        F.xxhash64("tokens").alias("tokens_fp"),
+        F.xxhash64("tokens_orig").alias("tokens_orig_fp"),
         (F.col("tokens") == F.col("tokens_orig")).alias("tokens_equal"),
     )
 
@@ -647,6 +666,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ---------------------------------------------------------------- oracles
 
+
+def _lut_sql(vals: list[float], idx_expr: str) -> str:
+    """DuckDB 1-based list_extract over a literal table (see timefeat.py:
+    the Spark query reads the SAME Python list, so both engines emit
+    bit-identical doubles)."""
+    lst = "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+    return f"list_extract({lst}, ({idx_expr}) + 1)"
+
+
 _AXIS_15M_SQL = """
     SELECT user_id,
            time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS ts,
@@ -740,7 +768,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize_stats": """
             WITH d AS (
-              SELECT user_id, ts, value,
+              SELECT user_id, ts,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_c,
                      CASE WHEN lag(ts) OVER w IS NULL
                                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
                           THEN 1 ELSE 0 END AS flag
@@ -755,7 +784,7 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    round(epoch(max(ts)) - epoch(min(ts)), 6) AS duration_s,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   sum(value_c)::DOUBLE / 100.0 AS sum_value
             FROM s GROUP BY 1, 2
         """,
         "lag_momentum_3": """
@@ -820,12 +849,14 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
             GROUP BY a.user_id, a.ts, a.value
         """,
-        "time_encodings": """
+        # literals generated from the SAME Python lookup tables the Spark
+        # query uses (functions/timefeat.py) — engine-libm-independent
+        "time_encodings": f"""
             SELECT event_id,
-                   round(sin(2*pi()*((dayofweek(ts) + 6) % 7)/7.0), 6) AS time_day_sin,
-                   round(cos(2*pi()*((dayofweek(ts) + 6) % 7)/7.0), 6) AS time_day_cos,
-                   round(sin(2*pi()*hour(ts)/24.0), 6) AS time_hour_sin,
-                   round(cos(2*pi()*hour(ts)/24.0), 6) AS time_hour_cos
+                   {_lut_sql(DAY_SIN6, "(dayofweek(ts) + 6) % 7")} AS time_day_sin,
+                   {_lut_sql(DAY_COS6, "(dayofweek(ts) + 6) % 7")} AS time_day_cos,
+                   {_lut_sql(HOUR_SIN6, "hour(ts)")} AS time_hour_sin,
+                   {_lut_sql(HOUR_COS6, "hour(ts)")} AS time_hour_cos
             FROM events
         """,
         "tail_last5": """
