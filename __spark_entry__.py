@@ -675,6 +675,119 @@ def _lut_sql(vals: list[float], idx_expr: str) -> str:
     return f"list_extract({lst}, ({idx_expr}) + 1)"
 
 
+def _ewm_sql(prev: str, cur: str, alpha: float) -> str:
+    """pandas ``ewm(adjust=False)`` single-step update, bit-exact.
+
+    pandas (aggregations.pyx ewm) computes
+    ``w = (old_wt*w + new_wt*x) / (old_wt + new_wt)`` with
+    old_wt = 1-alpha, new_wt = alpha, SKIPPING the update when w == x
+    (which would otherwise perturb w by an ulp). Emitting the same float
+    literals and the same op order reproduces it exactly (verified
+    bit-identical vs pandas on 5k-step random walks)."""
+    oma = 1.0 - alpha
+    den = oma + alpha
+    return (
+        f"CASE WHEN {prev} = {cur} THEN {prev} "
+        f"ELSE ({oma!r} * {prev} + {alpha!r} * {cur}) / {den!r} END"
+    )
+
+
+def _recurrence_oracle_sql() -> str:
+    """DuckDB oracle for q_recurrence_indicators: a recursive CTE that
+    folds the EMA/Wilder/SuperTrend recurrences row by row per user,
+    replicating `functions/recurrence.py` arithmetic exactly (see
+    _ewm_sql). Feasible because the driver compares at sf0.01 (~66 bars
+    per user → ~66 recursion steps over ≤150-row frontiers)."""
+    a20 = 2.0 / (20 + 1)
+    a14 = 1.0 / 14
+    a12 = 2.0 / (12 + 1)
+    a26 = 2.0 / (26 + 1)
+    a10 = 1.0 / 10  # supertrend_period
+    thr, mp = 40.0, 2  # rsi_event_threshold / rsi_min_persist
+    return f"""
+        WITH RECURSIVE bars AS (
+          SELECT user_id, ts, high, low, close,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM (
+            SELECT user_id,
+                   time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS ts,
+                   max(value) AS high, min(value) AS low,
+                   arg_max(value, ts) AS close
+            FROM events GROUP BY 1, 2
+          )
+        ),
+        rec AS (
+          SELECT user_id, ts, rn, close AS pc,
+                 close AS ema20, 0.0::DOUBLE AS ag, 0.0::DOUBLE AS al,
+                 close AS ema12, close AS ema26,
+                 high - low AS atr, high - low AS st_atr,
+                 ((high + low) / 2.0) + (3.0 * (high - low)) AS f_up,
+                 ((high + low) / 2.0) - (3.0 * (high - low)) AS f_dn,
+                 1.0::DOUBLE AS dir, CAST(NULL AS DOUBLE) AS rsi_r,
+                 0 AS ob_run, 0 AS os_run
+          FROM bars WHERE rn = 1
+          UNION ALL
+          SELECT user_id, ts, rn, close AS pc, ema20, ag, al, ema12, ema26,
+                 atr, st_atr, f_up, f_dn,
+                 CASE WHEN p_dir > 0
+                      THEN CASE WHEN close < f_dn THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END
+                      ELSE CASE WHEN close > f_up THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
+                 END AS dir,
+                 rsi_r, ob_run, os_run
+          FROM (
+            SELECT *,
+                   CASE WHEN up < p_f_up OR pc > p_f_up THEN up ELSE p_f_up END AS f_up,
+                   CASE WHEN dn > p_f_dn OR pc < p_f_dn THEN dn ELSE p_f_dn END AS f_dn,
+                   CASE WHEN rsi_r >= {thr!r} THEN p_ob_run + 1 ELSE 0 END AS ob_run,
+                   CASE WHEN rsi_r <= -{thr!r} THEN p_os_run + 1 ELSE 0 END AS os_run
+            FROM (
+              SELECT *,
+                     ((high + low) / 2.0) + (3.0 * st_atr) AS up,
+                     ((high + low) / 2.0) - (3.0 * st_atr) AS dn,
+                     CASE WHEN al = 0 THEN 100.0
+                          ELSE ((100.0 - 100.0 / (1.0 + ag / al)) - 50.0) * 2.0
+                     END AS rsi_r
+              FROM (
+                SELECT *,
+                       {_ewm_sql("p_ema20", "close", a20)} AS ema20,
+                       {_ewm_sql("p_ag", "gain", a14)} AS ag,
+                       {_ewm_sql("p_al", "loss", a14)} AS al,
+                       {_ewm_sql("p_ema12", "close", a12)} AS ema12,
+                       {_ewm_sql("p_ema26", "close", a26)} AS ema26,
+                       {_ewm_sql("p_atr", "tr", a14)} AS atr,
+                       {_ewm_sql("p_st_atr", "tr", a10)} AS st_atr
+                FROM (
+                  SELECT *,
+                         greatest(high - low, abs(high - pc), abs(low - pc)) AS tr,
+                         greatest(close - pc, 0.0) AS gain,
+                         greatest(pc - close, 0.0) AS loss
+                  FROM (
+                    SELECT r.user_id, b.ts, b.rn, b.high, b.low, b.close, r.pc,
+                           r.ema20 AS p_ema20, r.ag AS p_ag, r.al AS p_al,
+                           r.ema12 AS p_ema12, r.ema26 AS p_ema26,
+                           r.atr AS p_atr, r.st_atr AS p_st_atr,
+                           r.f_up AS p_f_up, r.f_dn AS p_f_dn, r.dir AS p_dir,
+                           r.ob_run AS p_ob_run, r.os_run AS p_os_run
+                    FROM rec r JOIN bars b
+                      ON b.user_id = r.user_id AND b.rn = r.rn + 1
+                  )
+                )
+              )
+            )
+          )
+        )
+        SELECT user_id, ts,
+               round(ema20, 6) AS ema_20,
+               round(rsi_r, 6) AS rsi14,
+               CASE WHEN ob_run >= {mp} THEN 1.0
+                    WHEN os_run >= {mp} THEN -1.0 ELSE 0.0 END AS rsi_event,
+               round(ema12 - ema26, 6) AS macd,
+               round(atr, 6) AS atr14,
+               round(dir, 6) AS supertrend_direction
+        FROM rec
+    """
+
+
 _AXIS_15M_SQL = """
     SELECT user_id,
            time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS ts,
@@ -1124,4 +1237,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
             FROM events GROUP BY 1
         """,
+        "recurrence_indicators": _recurrence_oracle_sql(),
     }
