@@ -62,7 +62,6 @@ from quant_feature_pipeline_spark.textops.similarity import (
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,
 )
-from quant_feature_pipeline_spark.plans.pipeline import run_pipeline
 from quant_feature_pipeline_spark.tsutil import epoch_seconds
 
 
@@ -422,10 +421,17 @@ def q_recurrence_indicators(spark, sf_dir):
 
 
 def q_flagship_features(spark, sf_dir):
+    """The reference's full 45-feature NPZ contract (README_RL2 §2.2):
+    4 tfs × {market_state, mom, bb_width, volume, atr_pct, rv, close} +
+    3 tfs × 4 RSI columns + 4 time encodings + governed base return.
+    Rows-only (recurrences + grouped rank kernels are not SQL-oracleable
+    end-to-end; per-column pandas oracles live in tests/test_flagship.py)."""
+    from quant_feature_pipeline_spark.plans.flagship import run_flagship
+
     bars = bars_from_events(_t(spark, sf_dir, "events"))
-    return run_pipeline(
+    return run_flagship(
         bars.select("entity", "ts", "open", "high", "low", "close", "volume"),
-        PipelineConfig(base_tf="3m", resample_targets=("3m", "15m", "30m")),
+        PipelineConfig(base_tf="3m", resample_targets=("3m", "15m", "30m", "2h")),
     )
 
 

@@ -22,36 +22,30 @@ from pyspark.sql import types as T
 
 
 def _rank_kernel(x: np.ndarray, window: int, min_periods: int) -> np.ndarray:
-    """Vectorized O(N·W): sliding_window_view + broadcast compare, chunked
-    to bound memory at ~W·64k doubles — the numpy analog of the
-    reference's numba kernel."""
+    """Fully vectorized O(N·W): NaN-pad the head so sliding_window_view
+    covers EVERY row (warm-up rows see leading NaNs, which the validity
+    mask drops — identical to an expanding window), then broadcast
+    compare in chunks of ~4M cells — the numpy analog of the reference's
+    numba kernel (`step5_featueres_unified.py:103-127`)."""
     n = len(x)
     out = np.full(n, np.nan)
     if n == 0:
         return out
-    head_end = min(window - 1, n)
-    for i in range(head_end):  # expanding head, at most window-1 rows
-        w = x[: i + 1]
-        valid = w[~np.isnan(w)]
-        if len(valid) >= min_periods and not np.isnan(x[i]):
-            less = np.count_nonzero(valid < x[i])
-            equal = np.count_nonzero(valid == x[i])
-            out[i] = (less + 0.5 * equal) / len(valid)
-    if n >= window:
-        sw = np.lib.stride_tricks.sliding_window_view(x, window)
-        cur = x[window - 1 :]
+    with np.errstate(invalid="ignore"):
+        padded = np.concatenate([np.full(window - 1, np.nan), x])
+        sw = np.lib.stride_tricks.sliding_window_view(padded, window)
         chunk = max(1, (1 << 22) // window)  # ~4M cells per chunk
-        for s in range(0, len(sw), chunk):
-            e = min(s + chunk, len(sw))
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
             blk = sw[s:e]
-            c = cur[s:e, None]
+            c = x[s:e, None]
             valid = ~np.isnan(blk)
             cnt = valid.sum(axis=1)
             less = ((blk < c) & valid).sum(axis=1)
             equal = ((blk == c) & valid).sum(axis=1)
-            ok = (cnt >= min_periods) & ~np.isnan(cur[s:e])
+            ok = (cnt >= min_periods) & ~np.isnan(x[s:e])
             vals = (less + 0.5 * equal) / np.maximum(cnt, 1)
-            out[window - 1 + s : window - 1 + e] = np.where(ok, vals, np.nan)
+            out[s:e] = np.where(ok, vals, np.nan)
     return np.clip(out, 0.01, 0.99, out=out)
 
 
@@ -81,6 +75,36 @@ def rolling_percentile_rank(
         pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
         pdf[out_name] = rolling_rank_series(pdf[src], window, min_periods)
         return pdf
+
+    from .grouped import grouped_apply
+
+    return grouped_apply(df, by, fn, schema)
+
+
+def rolling_rank_multi(
+    df: DataFrame,
+    specs: list[tuple[str, int, int, str]],
+    by: str = "entity",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Many rolling ranks in ONE grouped Arrow stage.
+
+    ``specs`` = [(src_col, window, min_periods, out_col), ...]. The
+    flagship contract needs 24 rank kernels (4 tfs × {atr, bb_width,
+    volume} × fast/slow); computing them in a single grouped pass costs
+    one shuffle+sort instead of 24 (`step5_featueres_unified.py:547-587,
+    810-883` run the same kernels serially over one in-memory frame)."""
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(out, T.DoubleType(), True) for _, _, _, out in specs]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        new = {}
+        for src, window, mp, out in specs:
+            new[out] = _rank_kernel(pdf[src].to_numpy(np.float64), window, mp)
+        return pd.concat([pdf, pd.DataFrame(new, index=pdf.index)], axis=1)
 
     from .grouped import grouped_apply
 

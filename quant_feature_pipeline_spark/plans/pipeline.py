@@ -91,9 +91,12 @@ def merge_timeframes(
     by: str = "entity",
     ts_col: str = "ts",
     asof_strategy: str = "multi",
+    keep_right_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Step4 equivalent: as-of join each tf's indicators (OHLCV dropped,
-    P2) onto the base axis with ``{tf}_`` prefixes.
+    P2; ``keep_right_cols`` exempts columns the consumer needs, e.g. the
+    flagship price group keeps ``close``) onto the base axis with
+    ``{tf}_`` prefixes.
 
     Default "multi" fuses all timeframes into ONE sorted window pass
     (asof_join_multi); any two-table strategy falls back to the
@@ -101,7 +104,9 @@ def merge_timeframes(
     """
     tol = (cfg.tolerance_ms / 1000.0) if cfg.tolerance_ms else None
     rights = {
-        f"{tf}_": ind.drop(*[c for c in OHLCV if c in ind.columns])
+        f"{tf}_": ind.drop(
+            *[c for c in OHLCV if c in ind.columns and c not in keep_right_cols]
+        )
         for tf, ind in indicator_tables.items()
     }
     if asof_strategy == "multi" and cfg.align_direction == "backward":
