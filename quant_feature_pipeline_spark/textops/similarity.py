@@ -93,9 +93,17 @@ def lsh_bucket_candidates(
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """(id_a, id_b) candidate pairs sharing an LSH bucket."""
+    """(id_a, id_b) candidate pairs sharing an LSH bucket.
+
+    ``dim`` is required: Spark array columns carry no length in the
+    schema, and inferring it with a ``.first()`` would put a driver
+    round-trip in the middle of a lazy pipeline (plan-building must stay
+    action-free at 100 TB)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_bucket_candidates requires dim= (embedding length); "
+            "array schemas are unsized and plan-building must not run jobs"
+        )
     planes = _planes(dim, n_planes, seed)
     sig = df.select(F.col(id_col), lsh_signature(F.col(vec_col), planes).alias("bucket"))
     a, b = sig.alias("a"), sig.alias("b")
@@ -116,9 +124,11 @@ def embedding_near_dup_pairs(
     n_planes: int = 12,
     seed: int = 42,
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine. ``exact=True`` verifies
-    ALL pairs (test oracle); default verifies LSH candidates only."""
+    ALL pairs (test oracle); default verifies LSH candidates only and
+    requires ``dim`` (see lsh_bucket_candidates)."""
     vecs = df.select(
         F.col(id_col), _dbl(F.col(vec_col)).alias("_v"), _norm(_dbl(F.col(vec_col))).alias("_n")
     )
@@ -126,7 +136,7 @@ def embedding_near_dup_pairs(
         a, b = vecs.alias("a"), vecs.alias("b")
         pairs = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     else:
-        cand = lsh_bucket_candidates(df, id_col, vec_col, n_planes, seed=seed)
+        cand = lsh_bucket_candidates(df, id_col, vec_col, n_planes, dim=dim, seed=seed)
         pairs = (
             cand.join(vecs.alias("a"), cand.id_a == F.col(f"a.{id_col}"))
             .join(vecs.alias("b"), cand.id_b == F.col(f"b.{id_col}"))

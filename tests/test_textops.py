@@ -128,7 +128,7 @@ def test_embedding_near_dup_lsh_vs_exact(spark):
     df, _ = _vecs(spark)
     exact = embedding_near_dup_pairs(df, cosine_threshold=0.99, exact=True).toPandas()
     lsh = embedding_near_dup_pairs(
-        df, cosine_threshold=0.99, exact=False, n_planes=8
+        df, cosine_threshold=0.99, exact=False, n_planes=8, dim=8
     ).toPandas()
     assert (0, 1) in set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
     # LSH candidates are a subset; the planted near-dup must survive
