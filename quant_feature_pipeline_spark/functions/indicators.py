@@ -51,15 +51,17 @@ class _RollStats:
         wc = _cum(by, ts_col)
         x = F.col(src).cast("double")  # isnan/arith need floating input
         self.tag = f"_rs_{src}"
+        # NaN is treated as missing exactly like null (pandas skip-NaN
+        # semantics): a NaN reaching the cumsum would poison S (and Q)
+        # for every later row of the entity while C still excluded it
+        ok = x.isNotNull() & ~F.isnan(x)
         cols = {
-            f"{self.tag}_S": F.sum(F.coalesce(x, F.lit(0.0))).over(wc),
-            f"{self.tag}_C": F.sum(
-                F.when(x.isNotNull() & ~F.isnan(x), 1.0).otherwise(0.0)
-            ).over(wc),
+            f"{self.tag}_S": F.sum(F.when(ok, x).otherwise(0.0)).over(wc),
+            f"{self.tag}_C": F.sum(F.when(ok, 1.0).otherwise(0.0)).over(wc),
         }
         if need_sq:
             cols[f"{self.tag}_Q"] = F.sum(
-                F.coalesce(x * x, F.lit(0.0))
+                F.when(ok, x * x).otherwise(0.0)
             ).over(wc)
         self.df = df.withColumns(cols)
         self.need_sq = need_sq

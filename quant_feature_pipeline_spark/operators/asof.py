@@ -230,16 +230,23 @@ def asof_join_bucketed(
     bucket_s: int = 3600,
     **_: object,
 ) -> DataFrame:
-    """Range-partitioned backward as-of join (pure Catalyst).
+    """Range-partitioned as-of join (pure Catalyst), all three directions.
 
     Scale path for few/huge entities: a single entity's timeline is split
     into ``bucket_s``-second ranges that process in parallel. Right rows
     equi-join into their own bucket; each bucket additionally receives ONE
-    carry row — the latest right row from any earlier bucket — computed by
-    a cheap per-bucket ffill over the (tiny) bucket axis.
+    carry row — the nearest right row from any earlier (backward) / later
+    (forward) bucket — computed by a cheap per-bucket fill over the (tiny)
+    bucket axis. ``nearest`` composes the two directional passes.
     """
-    if direction != "backward":
-        raise NotImplementedError("bucketed strategy implements backward asof")
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, by, allow_exact_matches, tolerance_s, right_prefix,
+            asof_join_bucketed,
+        )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction}")
+    fwd = direction == "forward"
     vcols = _right_value_cols(left, right, by, on)
     out_names = _prefixed(vcols, right_prefix)
     lcols = [c for c in left.columns if c not in (by, on)]
@@ -250,35 +257,45 @@ def asof_join_bucketed(
     )
     r_b = right.withColumn("_bkt", bucket(on))
 
-    # latest right row per (entity, bucket)
-    w_last = Window.partitionBy(by, "_bkt").orderBy(F.col(on).desc())
+    # boundary right row per (entity, bucket): latest for backward,
+    # earliest for forward
+    w_last = Window.partitionBy(by, "_bkt").orderBy(
+        F.col(on).asc() if fwd else F.col(on).desc()
+    )
     last_per_bucket = (
         r_b.withColumn("_rn", F.row_number().over(w_last)).filter(F.col("_rn") == 1).drop("_rn")
     )
 
-    # bucket axis = all buckets seen on either side; ffill the latest right
-    # row payload over the axis, then lag by one so bucket b gets "latest
-    # right strictly before b's start"
+    # bucket axis = all buckets seen on either side; fill the boundary
+    # right payload over the axis excluding the current bucket, so bucket
+    # b gets "nearest right strictly before b's start" (backward) /
+    # "strictly after b's end" (forward)
     axis = (
         l_b.select(by, "_bkt").unionByName(r_b.select(by, "_bkt")).distinct()
     )
     lpb = last_per_bucket.select(
         by, "_bkt", *[F.col(c).alias(f"_c_{c}") for c in vcols + [on]]
     )
-    w_carry = (
-        Window.partitionBy(by)
-        .orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    if fwd:
+        w_carry = (
+            Window.partitionBy(by)
+            .orderBy("_bkt")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w_carry)  # noqa: E731
+    else:
+        w_carry = (
+            Window.partitionBy(by)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w_carry)  # noqa: E731
     carry = (
         axis.join(lpb, [by, "_bkt"], "left")
         .select(
             by,
             "_bkt",
-            *[
-                F.last(f"_c_{c}", ignorenulls=True).over(w_carry).alias(f"_p_{c}")
-                for c in vcols + [on]
-            ],
+            *[fill(f"_c_{c}").alias(f"_p_{c}") for c in vcols + [on]],
         )
     )
 
@@ -290,50 +307,77 @@ def asof_join_bucketed(
         carry.filter(F.col(f"_p_{on}").isNotNull())
     )
 
-    cond_ts = (
-        F.col(f"_p_{on}") <= F.col(on)
-        if allow_exact_matches
-        else F.col(f"_p_{on}") < F.col(on)
-    )
-    if tolerance_s is not None:
-        cond_ts = cond_ts & (
-            (epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_p_{on}")))
-            <= float(tolerance_s)
+    if fwd:
+        cond_ts = (
+            F.col(f"_p_{on}") >= F.col(on)
+            if allow_exact_matches
+            else F.col(f"_p_{on}") > F.col(on)
         )
+        delta = epoch_seconds(F.col(f"_p_{on}")) - epoch_seconds(F.col(on))
+    else:
+        cond_ts = (
+            F.col(f"_p_{on}") <= F.col(on)
+            if allow_exact_matches
+            else F.col(f"_p_{on}") < F.col(on)
+        )
+        delta = epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_p_{on}"))
+    if tolerance_s is not None:
+        cond_ts = cond_ts & (delta <= float(tolerance_s))
     joined = l_b.join(candidates, [by, "_bkt"], "left").withColumn(
         "_ok", F.coalesce(cond_ts, F.lit(False))
     )
-    # best candidate per left row = admissible row with max right-ts;
-    # a left row with no admissible candidate keeps exactly one null row
-    w_pick = Window.partitionBy("_lid").orderBy(
-        F.col("_ok").desc(), F.col(f"_p_{on}").desc_nulls_last()
-    )
-    picked = joined.withColumn("_rn", F.row_number().over(w_pick)).filter(
-        F.col("_rn") == 1
+    # best candidate per left row = admissible row with min |ts delta|,
+    # picked with ONE hash aggregation: max_by/min_by over an ordering
+    # struct partial-combines map-side, so only one candidate row per
+    # (_lid, partition) reaches the shuffle — a row_number window here
+    # would instead sort-shuffle EVERY candidate row keyed by _lid.
+    # A left row with no admissible candidate keeps exactly one null row.
+    payload = F.struct(F.col("_ok"), *[F.col(f"_p_{c}") for c in vcols + [on]])
+    if fwd:
+        # smallest admissible right ts: ok-first (~_ok sorts false<true),
+        # then min p_on (null p_on only occurs on not-ok rows)
+        pick = F.min_by(payload, F.struct(~F.col("_ok"), F.col(f"_p_{on}")))
+    else:
+        pick = F.max_by(payload, F.struct(F.col("_ok"), F.col(f"_p_{on}")))
+    picked = joined.groupBy("_lid").agg(
+        F.first(by).alias(by),
+        F.first(on).alias(on),
+        *[F.first(c).alias(c) for c in lcols],
+        pick.alias("_best"),
     )
     value_exprs = [
-        F.when(F.col("_ok"), F.col(f"_p_{c}")).alias(o)
+        F.when(F.col("_best._ok"), F.col(f"_best._p_{c}")).alias(o)
         for c, o in zip(vcols, out_names)
     ]
-    rts = F.when(F.col("_ok"), F.col(f"_p_{on}")).alias(f"{right_prefix}matched_{on}")
+    rts = F.when(F.col("_best._ok"), F.col(f"_best._p_{on}")).alias(
+        f"{right_prefix}matched_{on}"
+    )
     return picked.select(
         F.col(by), F.col(on), *[F.col(c) for c in lcols], *value_exprs, rts
     )
 
 
 def _asof_nearest(left, right, on, by, allow_exact, tol_s, prefix, impl):
-    """nearest = argmin(|ts - rts|) of the backward and forward matches."""
+    """nearest = argmin(|ts - rts|) of the backward and forward matches.
+
+    The two directional passes are recombined on a synthetic unique row
+    id, NOT on (by, on) — duplicate left timestamps per entity would fan
+    out under a key join."""
     vcols = _right_value_cols(left, right, by, on)
+    lidded = left.withColumn("_nn_lid", F.monotonically_increasing_id())
     bwd = impl(
-        left, right, on=on, by=by, direction="backward",
+        lidded, right, on=on, by=by, direction="backward",
         allow_exact_matches=allow_exact, tolerance_s=tol_s, right_prefix="_b_",
     )
     fwd = impl(
-        left, right, on=on, by=by, direction="forward",
+        lidded, right, on=on, by=by, direction="forward",
         allow_exact_matches=allow_exact, tolerance_s=tol_s, right_prefix="_f_",
     )
     lkey = [by, on] + [c for c in left.columns if c not in (by, on)]
-    both = bwd.join(fwd.select(*( [by, on] + [f"_f_{c}" for c in vcols] + [f"_f_matched_{on}"])), [by, on])
+    both = bwd.join(
+        fwd.select("_nn_lid", *[f"_f_{c}" for c in vcols], f"_f_matched_{on}"),
+        "_nn_lid",
+    )
     db = F.abs(epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_b_matched_{on}")))
     df_ = F.abs(epoch_seconds(F.col(f"_f_matched_{on}")) - epoch_seconds(F.col(on)))
     use_b = F.col(f"_f_matched_{on}").isNull() | (
@@ -385,13 +429,23 @@ def asof_join_multi(
     ts_type = left.schema[on].dataType
     prefixes = list(rights)
 
-    l_tagged = left.select(
-        F.col(by), F.col(on), F.lit(1).alias("_side"),
+    # synthetic unique row id: the payload re-attach join keys on it, so
+    # duplicate left (by, on) rows cannot fan out (right tables must still
+    # be unique on (by, on) — resampled tables are)
+    lidded = left.withColumn("_mlid", F.monotonically_increasing_id()) if lcols else left
+    l_tagged = (lidded if lcols else left).select(
+        F.col(by), F.col(on),
+        *([F.col("_mlid")] if lcols else [F.lit(0).cast("long").alias("_mlid")]),
+        F.lit(1).alias("_side"),
         *[F.lit(None).cast(ts_type).alias(f"_rts_{i}") for i in range(len(prefixes))],
     )
     parts = [l_tagged]
     for i, p in enumerate(prefixes):
-        sel = [F.col(by), F.col(on), F.lit(0).alias("_side")]
+        sel = [
+            F.col(by), F.col(on),
+            F.lit(None).cast("long").alias("_mlid"),
+            F.lit(0).alias("_side"),
+        ]
         sel += [
             (F.col(on).cast(ts_type) if j == i else F.lit(None).cast(ts_type)).alias(f"_rts_{j}")
             for j in range(len(prefixes))
@@ -408,7 +462,7 @@ def asof_join_multi(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = u.select(
-        F.col(by), F.col(on), F.col("_side"),
+        F.col(by), F.col(on), F.col("_mlid"), F.col("_side"),
         *[
             F.last(f"_rts_{i}", ignorenulls=True).over(w).alias(f"_m_{i}")
             for i in range(len(prefixes))
@@ -417,7 +471,7 @@ def asof_join_multi(
 
     if tolerance_s is not None:
         matched = matched.select(
-            F.col(by), F.col(on),
+            F.col(by), F.col(on), F.col("_mlid"),
             *[
                 F.when(
                     (epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_m_{i}")))
@@ -428,8 +482,16 @@ def asof_join_multi(
             ],
         )
 
-    # re-attach left payload (narrow window dropped it), then each block
-    out = matched.join(left, [by, on], "inner") if lcols else matched
+    # re-attach left payload on the unique row id (the narrow window
+    # dropped it; joining on (by, on) would fan out duplicate left ts)
+    if lcols:
+        out = (
+            matched.select("_mlid", *[f"_m_{i}" for i in range(len(prefixes))])
+            .join(lidded, "_mlid", "inner")
+            .drop("_mlid")
+        )
+    else:
+        out = matched.drop("_mlid")
     for i, p in enumerate(prefixes):
         r = rights[p].select(
             F.col(by).alias(f"_rby_{i}"),

@@ -26,16 +26,34 @@ def write_table(
     mode: str = "overwrite",
     partition_cols: tuple[str, ...] = (),
     manifest: bool = True,
+    fmt: str = "parquet",
 ) -> str:
-    writer = df.write.mode(mode)
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(path)
+    """``fmt`` dispatches like the reference's ``io.output_format``
+    (`/root/reference/step2_resample.py:325-343`): "parquet", "csv", or
+    "both" ("both" writes parquet at ``path`` and CSV beside it at
+    ``path + "_csv"`` — Spark writers own their whole directory). CSV
+    keeps a header and ISO timestamps so the reference's pandas readers
+    ingest it unchanged."""
+    if fmt not in ("parquet", "csv", "both"):
+        raise ValueError(f"fmt must be parquet/csv/both, got {fmt!r}")
+
+    def _writer():
+        w = df.write.mode(mode)
+        return w.partitionBy(*partition_cols) if partition_cols else w
+
+    if fmt in ("parquet", "both"):
+        _writer().parquet(path)
+    if fmt in ("csv", "both"):
+        csv_path = path if fmt == "csv" else path + "_csv"
+        _writer().option("header", True).option(
+            "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+        ).csv(csv_path)
     if manifest:
         meta = {
             "columns": df.columns,
             "schema_sha": schema_sha(df.columns),
             "partition_cols": list(partition_cols),
+            "format": fmt,
         }
         with open(os.path.join(path, "_manifest.json"), "w") as fh:
             json.dump(meta, fh, indent=2)

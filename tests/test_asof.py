@@ -78,11 +78,11 @@ def _oracle(left, right, direction, allow_exact, tol_s):
         ("backward", True, 600),
         ("forward", True, None),
         ("forward", False, None),
+        ("nearest", True, None),
+        ("nearest", True, 600),
     ],
 )
 def test_asof_matches_pandas(spark, strategy, direction, allow_exact, tol_s):
-    if strategy == "bucketed" and direction != "backward":
-        pytest.skip("bucketed implements backward only")
     lpdf, rpdf = _left_right()
     left = spark.createDataFrame(lpdf)
     right = spark.createDataFrame(rpdf)
@@ -132,3 +132,28 @@ def test_asof_bucketed_bucket_sizes(spark, bucket_s):
     ).toPandas()
     want = _oracle(lpdf, rpdf, "backward", True, None)
     assert_frame_close(got, want, keys=["entity", "ts", "lval"])
+
+
+def test_asof_multi_duplicate_left_ts_no_fanout(spark):
+    """Duplicate left (entity, ts) rows must map 1:1 through the fused
+    multi-asof and the nearest recombine (row-id join, not key join)."""
+    import pandas as pd
+
+    from quant_feature_pipeline_spark.operators.asof import asof_join_multi
+
+    lts = [T0 + datetime.timedelta(minutes=m) for m in (1, 5, 5, 5, 9)]
+    left = spark.createDataFrame(
+        pd.DataFrame({"entity": "A", "ts": lts, "lval": range(5)})
+    )
+    rts = [T0 + datetime.timedelta(minutes=m) for m in (0, 4, 8)]
+    right = spark.createDataFrame(
+        pd.DataFrame({"entity": "A", "ts": rts, "rval": [10.0, 20.0, 30.0]})
+    )
+    out = asof_join_multi(left, {"r_": right}).toPandas()
+    assert len(out) == 5
+    assert sorted(out["lval"]) == [0, 1, 2, 3, 4]
+    assert (out[out["lval"] > 0].sort_values("lval")["r_rval"] == [20.0] * 3 + [30.0]).all()
+
+    near = asof_join(left, right, direction="nearest").toPandas()
+    assert len(near) == 5
+    assert sorted(near["lval"]) == [0, 1, 2, 3, 4]

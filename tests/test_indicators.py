@@ -170,3 +170,25 @@ def test_window_indicators_vs_pandas(spark):
     want = pd.concat(out, ignore_index=True)
     # pandas rolling.std over a single point is NaN; Spark stddev_samp null — equal_nan covers
     assert_frame_close(got, want, keys=["entity", "ts"])
+
+
+def test_rollstats_nan_does_not_poison(spark):
+    """A single NaN input must behave like a missing value: later windows
+    that no longer contain it are unaffected (pandas skip-NaN semantics);
+    windows that do contain it use the remaining observations."""
+    import numpy as np
+    import pandas as pd
+
+    from quant_feature_pipeline_spark.functions.indicators import sma
+
+    pdf = make_bars_pdf(n=30, entities=("A",))
+    pdf.loc[10, "close"] = np.nan
+    df = spark.createDataFrame(pdf)
+    got = (
+        sma(df, (5,), src="close", by="entity", ts_col="ts")
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    want = pdf["close"].rolling(5, min_periods=1).mean()
+    np.testing.assert_allclose(
+        got["sma_5"].to_numpy(), want.to_numpy(), rtol=1e-9, equal_nan=True
+    )

@@ -106,3 +106,24 @@ def test_checkpoint_merge_dedup_keeps_increment(spark, tmp_path):
     assert len(merged) == len(pdf)
     tail = merged.sort_values("ts").tail(10)
     assert (tail["close"] == -1.0).all()
+
+
+def test_write_table_fmt_dispatch(spark, tmp_path):
+    """S6 format dispatch: parquet / csv / both round-trip with manifest."""
+    import json
+
+    from quant_feature_pipeline_spark.sources.sink import write_table
+
+    df = spark.createDataFrame(make_bars_pdf(n=20, entities=("A",)))
+    p = str(tmp_path / "both")
+    write_table(df, p, fmt="both")
+    assert spark.read.parquet(p).count() == 20
+    csv_back = spark.read.option("header", True).csv(p + "_csv")
+    assert csv_back.count() == 20
+    assert set(csv_back.columns) == set(df.columns)
+    meta = json.loads((tmp_path / "both" / "_manifest.json").read_text())
+    assert meta["format"] == "both" and meta["columns"] == df.columns
+
+    pc = str(tmp_path / "csvonly")
+    write_table(df, pc, fmt="csv")
+    assert spark.read.option("header", True).csv(pc).count() == 20
