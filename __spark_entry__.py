@@ -61,6 +61,8 @@ from quant_feature_pipeline_spark.textops.quality import (
 from quant_feature_pipeline_spark.textops.similarity import (
     cosine_topk_bruteforce,
     embedding_near_dup_pairs,
+    ivf_centroids,
+    ivf_topk,
 )
 from quant_feature_pipeline_spark.tsutil import epoch_seconds
 
@@ -387,6 +389,26 @@ def q_knn_cosine_top3(spark, sf_dir):
     )
 
 
+_IVF_DIM, _IVF_CELLS, _IVF_NPROBE, _IVF_K = 64, 16, 4, 3
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate ANN (the scale path beside brute force):
+    corpus assigned to nearest-centroid cells, queries probe nprobe
+    cells, exact cosine on candidates only. Oracle shares the same
+    centroid literals, so results match exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(
+        emb, queries_df, k=_IVF_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE, dim=_IVF_DIM
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", R6).alias("cosine"), "rank"
+    )
+
+
 def q_embed_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs(emb, cosine_threshold=0.4, exact=True)
@@ -649,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "knn_cosine_top3": q_knn_cosine_top3,
+        "ivf_topk": q_ivf_topk,
         "embed_near_dup": q_embed_near_dup,
         "jaccard_3gram_pairs": q_jaccard_3gram_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -791,6 +814,59 @@ def _recurrence_oracle_sql() -> str:
                round(atr, 6) AS atr14,
                round(dir, 6) AS supertrend_direction
         FROM rec
+    """
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB replica of q_ivf_topk built from the SAME centroid
+    literals (textops/similarity.py::ivf_centroids), mirroring the
+    assign → probe → exact-cosine → top-k shape step for step."""
+    import numpy as np
+
+    cents = ivf_centroids(_IVF_DIM, _IVF_CELLS, seed=7)
+    rows = ", ".join(
+        f"({i}, {float(np.dot(c, c))!r}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents AS (SELECT * FROM (VALUES {rows}) AS t(cell_id, c2, centroid)),
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ca AS (
+          SELECT vec_id, cell_id, v FROM (
+            SELECT c.vec_id, cents.cell_id, c.v,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY cents.c2 - 2.0 * list_dot_product(c.v, cents.centroid) ASC,
+                              cents.cell_id ASC) AS rn
+            FROM c CROSS JOIN cents)
+          WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5),
+        qc AS (
+          SELECT query_id, cell_id, qv FROM (
+            SELECT q.query_id, cents.cell_id, q.qv,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY cents.c2 - 2.0 * list_dot_product(q.qv, cents.centroid) ASC,
+                              cents.cell_id ASC) AS rn
+            FROM q CROSS JOIN cents)
+          WHERE rn <= {_IVF_NPROBE}
+        ),
+        scored AS (
+          SELECT qc.query_id, ca.vec_id,
+                 CASE WHEN sqrt(list_dot_product(ca.v, ca.v)) > 0
+                           AND sqrt(list_dot_product(qc.qv, qc.qv)) > 0
+                      THEN list_dot_product(ca.v, qc.qv)
+                           / (sqrt(list_dot_product(ca.v, ca.v))
+                              * sqrt(list_dot_product(qc.qv, qc.qv)))
+                      ELSE 0.0 END AS cosine
+          FROM ca JOIN qc USING (cell_id)
+        )
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored QUALIFY rank <= {_IVF_K}
     """
 
 
@@ -1244,4 +1320,5 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "recurrence_indicators": _recurrence_oracle_sql(),
+        "ivf_topk": _ivf_oracle_sql(),
     }

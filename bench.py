@@ -150,12 +150,22 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))  # executors
 SCALE_4N = SCALE_N * 4
 EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
 EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
-SCALE_REPS = 2  # take min — the sandbox has noisy neighbors
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))  # median-of, interleaved
+CTL_REPS = 3
+
+
+def _median_run(rs: list[dict]) -> dict:
+    """The rep whose time is the median — a real run, not an average of
+    runs, so rows/checksum stay attached to the quoted time. Even rep
+    counts quote the SLOWER middle rep (conservative, not best-case)."""
+    ordered = sorted(rs, key=lambda d: d["sec"])
+    return dict(ordered[len(ordered) // 2])
 
 
 def _scaling() -> dict:
-    """Identical job at N and 4N executors (fresh JVMs each run), min of
-    SCALE_REPS runs per level, interleaved to decorrelate machine noise.
+    """Identical job at N and 4N executors (fresh JVMs each run),
+    SCALE_REPS reps per level INTERLEAVED (N,4N,N,4N,...) to decorrelate
+    shared-host noise; headline = median rep, spread reported beside it.
     A pure-CPU control job measures the VM's own parallel ceiling for
     context (this sandbox is a shared-host microVM: one memory bus, so
     shuffle/sort-bound work cannot scale the way a multi-node cluster —
@@ -171,21 +181,29 @@ def _scaling() -> dict:
             runs[n_exec].append(json.loads(p.stdout.strip().splitlines()[-1]))
     res = {}
     for n_exec, rs in runs.items():
-        best = min(rs, key=lambda d: d["sec"])
-        best["all_secs"] = [round(d["sec"], 2) for d in rs]
-        res[f"exec{n_exec}"] = best
+        med = _median_run(rs)
+        secs = sorted(round(d["sec"], 2) for d in rs)
+        med["all_secs"] = [round(d["sec"], 2) for d in rs]
+        med["sec_min"], med["sec_max"] = secs[0], secs[-1]
+        med["rows_per_sec"] = med["rows"] / med["sec"]
+        res[f"exec{n_exec}"] = med
+    assert len({d["checksum"] for rs in runs.values() for d in rs}) == 1, "nondeterministic output"
     t_n, t_4n = res[f"exec{SCALE_N}"]["sec"], res[f"exec{SCALE_4N}"]["sec"]
     res["efficiency_n_to_4n"] = round((t_n / t_4n) / 4.0, 4)
     res["speedup"] = round(t_n / t_4n, 3)
     res["pair"] = [SCALE_N, SCALE_4N]
-    # machine ceiling control (subprocesses for JVM isolation)
+    # machine ceiling control (subprocesses for JVM isolation), same
+    # median-of-reps treatment
     ctl = {}
     for n_exec in (SCALE_N, SCALE_4N):
-        p = subprocess.run(
-            [sys.executable, __file__, "--cpu-control", str(n_exec)],
-            capture_output=True, text=True, timeout=900, env=env,
-        )
-        ctl[n_exec] = float(p.stdout.strip().splitlines()[-1])
+        secs = []
+        for _ in range(CTL_REPS):
+            p = subprocess.run(
+                [sys.executable, __file__, "--cpu-control", str(n_exec)],
+                capture_output=True, text=True, timeout=900, env=env,
+            )
+            secs.append(float(p.stdout.strip().splitlines()[-1]))
+        ctl[n_exec] = sorted(secs)[len(secs) // 2]
     res["cpu_control_secs"] = {str(k): round(v, 2) for k, v in ctl.items()}
     res["cpu_control_efficiency"] = round((ctl[SCALE_N] / ctl[SCALE_4N]) / 4.0, 4)
     # efficiency relative to what the host physically offers at 4N
@@ -240,13 +258,14 @@ def _write_bench_md(payload: dict) -> None:
         lo, hi = sc[f"exec{n_lo}"], sc[f"exec{n_hi}"]
         lines += [
             "\n## Scaling: N vs 4N executors (local-cluster, separate JVMs, same input)\n",
-            "| executors x cores | sec (min of reps) | all reps | rows/sec |",
+            f"{SCALE_REPS} interleaved reps per level; headline = median rep (even counts quote the slower middle rep); output checksum identical across every run.\n",
+            "| executors x cores | sec (median) | all reps | rows/sec |",
             "|---|---|---|---|",
             f"| {n_lo} x {EXEC_CORES} | {lo['sec']:.1f} | {lo.get('all_secs')} | {lo['rows_per_sec']:,.0f} |",
             f"| {n_hi} x {EXEC_CORES} | {hi['sec']:.1f} | {hi.get('all_secs')} | {hi['rows_per_sec']:,.0f} |",
             f"\n- speedup N→4N executors: **{sc['speedup']}×**; efficiency (speedup/4): **{sc['efficiency_n_to_4n']}** (target ≥ 0.8)",
-            f"- pure-CPU control on the same box (hash chain, no shuffle): efficiency **{sc.get('cpu_control_efficiency')}** ({sc.get('cpu_control_secs')}) — the VM's own parallel ceiling",
-            f"- **efficiency relative to the machine ceiling: {sc.get('efficiency_vs_machine_ceiling')}** — the engine extracts ~all the parallelism the host exposes",
+            f"- pure-CPU control on the same box (hash chain, no shuffle, median of {CTL_REPS}): efficiency **{sc.get('cpu_control_efficiency')}** ({sc.get('cpu_control_secs')}) — the VM's own parallel ceiling",
+            f"- **efficiency relative to the machine ceiling: {sc.get('efficiency_vs_machine_ceiling')}**",
             "- this sandbox is a single shared-memory microVM: every executor shares ONE memory bus, so the",
             "  shuffle/sort-bound fraction of the pipeline is bandwidth-limited at any executor count. On a real",
             "  multi-node cluster each node brings its own memory bus and disks; the engine's stages already",

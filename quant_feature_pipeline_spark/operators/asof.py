@@ -401,6 +401,7 @@ def asof_join_multi(
     by: str = "entity",
     allow_exact_matches: bool = True,
     tolerance_s: float | None = None,
+    carry_left_payload: bool | None = None,
 ) -> DataFrame:
     """Backward as-of join of MANY right tables onto one left axis with
     ONE narrow sort — the fused, scale-tuned form of the reference's
@@ -423,29 +424,42 @@ def asof_join_multi(
 
     Each dict key is the output column prefix for that right table
     (reference P6 `{tf}_` prefixing, `step4_merge_features.py:340-344`).
+
+    Left-payload handling: a NARROW left payload (default: <= 12 columns)
+    rides straight through the union sort — the row only grows by the
+    payload width, every left row maps 1:1 by construction (duplicate
+    left timestamps included), and no re-attach join exists at all. A
+    wide left payload is instead re-attached by equi-join on a synthetic
+    unique row id (one extra shuffle of the wide frame, still fan-out
+    safe). The sort output stays hash-partitioned on ``by``, which
+    satisfies the clustering requirement of every (by, matched_ts)
+    payload join — Catalyst inserts no further exchange for them.
     """
     lcols = [c for c in left.columns if c not in (by, on)]
     blocks = {p: [c for c in r.columns if c not in (by, on)] for p, r in rights.items()}
     ts_type = left.schema[on].dataType
     prefixes = list(rights)
+    if carry_left_payload is None:
+        carry_left_payload = len(lcols) <= 12
+    carried = lcols if carry_left_payload else []
 
-    # synthetic unique row id: the payload re-attach join keys on it, so
-    # duplicate left (by, on) rows cannot fan out (right tables must still
-    # be unique on (by, on) — resampled tables are)
-    lidded = left.withColumn("_mlid", F.monotonically_increasing_id()) if lcols else left
-    l_tagged = (lidded if lcols else left).select(
+    lidded = (
+        left.withColumn("_mlid", F.monotonically_increasing_id())
+        if lcols and not carry_left_payload
+        else left
+    )
+    id_cols = ["_mlid"] if lcols and not carry_left_payload else []
+    l_tagged = lidded.select(
         F.col(by), F.col(on),
-        *([F.col("_mlid")] if lcols else [F.lit(0).cast("long").alias("_mlid")]),
+        *[F.col(c) for c in id_cols + carried],
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(ts_type).alias(f"_rts_{i}") for i in range(len(prefixes))],
     )
     parts = [l_tagged]
     for i, p in enumerate(prefixes):
-        sel = [
-            F.col(by), F.col(on),
-            F.lit(None).cast("long").alias("_mlid"),
-            F.lit(0).alias("_side"),
-        ]
+        sel = [F.col(by), F.col(on)]
+        sel += [F.lit(None).cast(lidded.schema[c].dataType).alias(c) for c in id_cols + carried]
+        sel += [F.lit(0).alias("_side")]
         sel += [
             (F.col(on).cast(ts_type) if j == i else F.lit(None).cast(ts_type)).alias(f"_rts_{j}")
             for j in range(len(prefixes))
@@ -462,7 +476,9 @@ def asof_join_multi(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = u.select(
-        F.col(by), F.col(on), F.col("_mlid"), F.col("_side"),
+        F.col(by), F.col(on),
+        *[F.col(c) for c in id_cols + carried],
+        F.col("_side"),
         *[
             F.last(f"_rts_{i}", ignorenulls=True).over(w).alias(f"_m_{i}")
             for i in range(len(prefixes))
@@ -471,7 +487,8 @@ def asof_join_multi(
 
     if tolerance_s is not None:
         matched = matched.select(
-            F.col(by), F.col(on), F.col("_mlid"),
+            F.col(by), F.col(on),
+            *[F.col(c) for c in id_cols + carried],
             *[
                 F.when(
                     (epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_m_{i}")))
@@ -482,16 +499,16 @@ def asof_join_multi(
             ],
         )
 
-    # re-attach left payload on the unique row id (the narrow window
-    # dropped it; joining on (by, on) would fan out duplicate left ts)
-    if lcols:
+    if lcols and not carry_left_payload:
+        # wide left payload: re-attach on the unique row id (joining on
+        # (by, on) would fan out duplicate left ts)
         out = (
             matched.select("_mlid", *[f"_m_{i}" for i in range(len(prefixes))])
             .join(lidded, "_mlid", "inner")
             .drop("_mlid")
         )
     else:
-        out = matched.drop("_mlid")
+        out = matched
     for i, p in enumerate(prefixes):
         r = rights[p].select(
             F.col(by).alias(f"_rby_{i}"),

@@ -38,12 +38,17 @@ OHLCV = ("open", "high", "low", "close", "volume")
 def indicator_table(
     bars_tf: DataFrame, cfg: PipelineConfig, by: str = "entity", ts_col: str = "ts"
 ) -> DataFrame:
-    """Step3 equivalent: full indicator set for one timeframe table."""
-    df = sma(bars_tf, cfg.sma_windows, by=by, ts_col=ts_col)
+    """Step3 equivalent: full indicator set for one timeframe table.
+
+    The recurrence Arrow stage runs FIRST, on the narrow bar frame — the
+    window indicators are pure Catalyst expressions layered on its
+    output, so the ~20 sma/bb/roc/rv columns never pay the
+    Arrow serialize/deserialize round-trip."""
+    df = compute_recurrence_indicators(bars_tf, cfg, by=by, ts_col=ts_col)
+    df = sma(df, cfg.sma_windows, by=by, ts_col=ts_col)
     df = bollinger_width(df, cfg.bb_window, cfg.bb_std, by=by, ts_col=ts_col)
     df = roc_momentum(df, cfg.mom_window, by=by, ts_col=ts_col)
     df = realized_vol(df, cfg.rv_windows, by=by, ts_col=ts_col)
-    df = compute_recurrence_indicators(df, cfg, by=by, ts_col=ts_col)
     return df
 
 
@@ -111,16 +116,21 @@ def merge_timeframes(
     }
     if asof_strategy == "multi" and cfg.align_direction == "backward":
         # the base-tf indicator block lives on exactly the base axis —
-        # that's an equi-join, not an as-of join; only coarser tfs as-of
+        # that's an equi-join, not an as-of join; only coarser tfs as-of.
+        # The as-of runs FIRST, on the naked base: its narrow left payload
+        # (OHLCV) then rides through the union sort, so no re-attach join
+        # exists, and the sort's entity partitioning satisfies the
+        # clustering requirement of both the payload joins and the final
+        # base-block equi-join (no further exchange of the wide frame).
         base_tf = cfg.resample_targets[0]
         merged = base
         base_key = f"{base_tf}_"
+        base_block = None
         if base_key in rights and cfg.allow_exact_match and tol is None:
             r = rights.pop(base_key)
-            r = r.select(
+            base_block = r.select(
                 by, ts_col, *[F.col(c).alias(f"{base_key}{c}") for c in r.columns if c not in (by, ts_col)]
             )
-            merged = merged.join(r, [by, ts_col], "left")
         if rights:
             merged = asof_join_multi(
                 merged,
@@ -130,6 +140,8 @@ def merge_timeframes(
                 allow_exact_matches=cfg.allow_exact_match,
                 tolerance_s=tol,
             )
+        if base_block is not None:
+            merged = merged.join(base_block, [by, ts_col], "left")
         return merged
     merged = base
     for tf, ind in indicator_tables.items():

@@ -41,6 +41,20 @@ def _minhash_perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarr
     return a, b
 
 
+def _py_shingle_set(text, n: int) -> list[str]:
+    """Python twin of the JVM ``shingles`` expression (ASCII \\w/\\s like
+    java.util.regex defaults). Used only for CANDIDATE generation — the
+    emitted jaccard is always verified on the JVM shingle sets."""
+    import re
+
+    words = re.sub(r"[^\w\s]", "", str(text or "").lower(), flags=re.ASCII).split()
+    if not words:
+        return []
+    if len(words) <= n:
+        return [" ".join(words)]
+    return list({" ".join(words[i : i + n]) for i in range(len(words) - n + 1)})
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -49,30 +63,32 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 1315423911,
 ) -> DataFrame:
-    """(id, sig array<long>[num_perm]) — sig[i] = min over shingles of
-    a_i·xxhash64(shingle) + b_i (mod 2^64).
+    """(id, minhash_sig array<long>[num_perm]) — sig[i] = min over
+    shingles of a_i·hash64(shingle) + b_i (mod 2^64).
 
-    Each shingle is string-hashed ONCE (JVM xxhash64); the num_perm
-    permutations are wraparound multiply-adds over those 8-byte values in
-    a single Arrow-vectorized numpy stage (np.minimum.reduceat over the
-    flattened batch — no per-document Python). The previous formulation
-    (xxhash64(shingle, i) per seed in a nested transform) re-hashed every
-    string num_perm times in an interpreted expression — measured ~9 s at
-    sf0.1 for the signature stage alone; this path is ~20x cheaper."""
+    Tokenize → shingle → hash → permutation-min all happen in ONE
+    Arrow-vectorized stage: shingle strings of a whole batch are hashed
+    in one flat pd.util.hash_array call and the num_perm permutations
+    are wraparound multiply-adds folded per document with
+    np.minimum.reduceat. Two earlier JVM formulations were measured far
+    slower at sf0.1: per-seed xxhash64(shingle, i) in a nested transform
+    (~9 s — every string hashed num_perm times, interpreted), and even a
+    single-pass transform/slice/array_join shingle expression (~5 s —
+    higher-order functions evaluate interpreted, ~15 µs/shingle)."""
     a_params, b_params = _minhash_perm_params(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(hashes: pd.Series) -> pd.Series:
-        arrs = [
-            np.asarray(h if h is not None else [], dtype=np.int64).astype(np.uint64)
-            for h in hashes
-        ]
-        n = len(arrs)
-        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=n)
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        sets = [_py_shingle_set(t, shingle_n) for t in texts]
+        n = len(sets)
+        lens = np.fromiter((len(x) for x in sets), dtype=np.int64, count=n)
         sig = np.empty((n, num_perm), dtype=np.uint64)
         nonempty = lens > 0
         if nonempty.any():
-            flat = np.concatenate([x for x in arrs if len(x)])
+            flat_strs = np.array(
+                [s for x in sets for s in x], dtype=object
+            )
+            flat = pd.util.hash_array(flat_strs).astype(np.uint64)
             seg = np.concatenate([[0], np.cumsum(lens[nonempty])[:-1]])
             for i in range(num_perm):
                 vals = a_params[i] * flat + b_params[i]  # uint64 wraparound
@@ -80,15 +96,7 @@ def minhash_signatures(
         sig[~nonempty, :] = np.uint64(0xFFFFFFFFFFFFFFFF)
         return pd.Series(list(sig.view(np.int64)))
 
-    sh = df.select(F.col(id_col), shingles(text_col, shingle_n))
-    hashed = sh.withColumn(
-        "_sh_hash", F.transform("shingles", lambda s: F.xxhash64(s))
-    )
-    return hashed.select(
-        F.col(id_col),
-        sig_udf("_sh_hash").alias("minhash_sig"),
-        F.col("shingles"),
-    )
+    return df.select(F.col(id_col), sig_udf(text_col).alias("minhash_sig"))
 
 
 def minhash_lsh_dup_pairs(
@@ -105,11 +113,9 @@ def minhash_lsh_dup_pairs(
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
-    # Materialize signatures once: they feed the band join twice (self-join)
-    # plus the verify join-back, and Spark evaluates higher-order-function
-    # expressions interpreted (no codegen) — recomputing the signature per
-    # join side is the difference between 0.3s and minutes. On a real
-    # cluster this is a checkpointed signature table.
+    # Materialize signatures once: they feed the band join twice
+    # (self-join). On a real cluster this is a checkpointed signature
+    # table.
     sigs = sigs.persist()
     # Banding as a literal struct array: measured 600x faster than the
     # equivalent nested transform(sequence(...), slice(...)) formulation,
@@ -146,7 +152,19 @@ def minhash_lsh_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_tbl = sigs.select(F.col(id_col), F.col("shingles"))
+    # exact-Jaccard verify on JVM shingle sets computed ONLY for the
+    # candidate documents — the (interpreted, ~15 µs/shingle) shingle
+    # expression never runs over the full corpus. AQE broadcasts the
+    # candidate-id list when it is small (the LSH contract).
+    cand = cand.persist()
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_tbl = df.join(cand_ids, id_col).select(
+        F.col(id_col), shingles(text_col, shingle_n)
+    )
     pairs = (
         cand.join(sh_tbl.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
         .join(sh_tbl.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")

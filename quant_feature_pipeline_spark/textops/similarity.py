@@ -116,6 +116,84 @@ def lsh_bucket_candidates(
     )
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids. Plain seeded Gaussians —
+    at scale you would Lloyd-refine these offline and persist them (the
+    assignment/probe plumbing below is identical either way); fixed
+    literals keep the whole index reproducible and SQL-oracle-able."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_cells, dim).astype(float).tolist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int | None = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-bucketed approximate top-k cosine — the scale path beside the
+    brute-force baseline.
+
+    Every corpus vector is assigned to its nearest centroid cell ONCE
+    (L2 argmin, ranked by the |c|² − 2·v·c form so the shared |v|² term
+    drops out); each query probes its ``nprobe`` nearest cells; exact
+    cosine runs only on the probed cells' members. The centroid table is
+    a broadcast literal dim table, so the corpus never shuffles except
+    for the final per-query top-k — at 100 TB the cell assignment is a
+    map-only pass and candidates per query are |corpus|·nprobe/n_cells.
+    """
+    if dim is None:
+        raise ValueError("ivf_topk requires dim= (embedding length)")
+    cents = ivf_centroids(dim, n_cells, seed)
+    spark = corpus.sparkSession
+    cent_rows = [
+        (i, float(np.dot(c, c)), [float(x) for x in c]) for i, c in enumerate(cents)
+    ]
+    cent_df = spark.createDataFrame(
+        cent_rows, "cell_id int, c2 double, centroid array<double>"
+    )
+
+    def score(v: Column) -> Column:
+        return F.col("c2") - 2.0 * _dot(v, F.col("centroid"))
+
+    c = corpus.select(
+        F.col(id_col), _dbl(F.col(vec_col)).alias("_cv"), _norm(_dbl(F.col(vec_col))).alias("_cn")
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("_score").asc(), F.col("cell_id").asc())
+    corpus_cells = (
+        c.crossJoin(F.broadcast(cent_df))
+        .withColumn("_score", score(F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cell_id", "_cv", "_cn")
+    )
+    q = queries.select(
+        F.col(query_id_col), _dbl(F.col(vec_col)).alias("_qv"), _norm(_dbl(F.col(vec_col))).alias("_qn")
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(F.col("_score").asc(), F.col("cell_id").asc())
+    query_cells = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_score", score(F.col("_qv")))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "cell_id", "_qv", "_qn")
+    )
+    cand = corpus_cells.join(F.broadcast(query_cells), "cell_id")
+    cos = F.when(
+        (F.col("_cn") > 0) & (F.col("_qn") > 0),
+        _dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn")),
+    ).otherwise(F.lit(0.0))
+    scored = cand.select(query_id_col, id_col, cos.alias("cosine"))
+    w_top = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w_top)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -136,3 +136,22 @@ def test_embedding_near_dup_lsh_vs_exact(spark):
     assert set(map(tuple, lsh[["id_a", "id_b"]].to_numpy())) <= set(
         map(tuple, exact[["id_a", "id_b"]].to_numpy())
     )
+
+
+def test_ivf_topk_self_hit_and_cosine_parity(spark):
+    """IVF: a query identical to a corpus vector probes its own cell and
+    finds itself; every IVF hit's cosine equals the brute-force cosine."""
+    from quant_feature_pipeline_spark.textops.similarity import ivf_topk
+
+    df, _ = _vecs(spark, n=60, dim=8)
+    q = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivf_topk(df, q, k=3, n_cells=4, nprobe=2, dim=8).toPandas()
+    for qid in range(4):
+        g = got[got.query_id == qid]
+        assert len(g) <= 3 and qid in set(g["vec_id"])  # self always found
+    brute = cosine_topk_bruteforce(df, q, k=60).toPandas()
+    m = got.merge(brute, on=["query_id", "vec_id"], suffixes=("_ivf", "_bf"))
+    assert len(m) == len(got)
+    np.testing.assert_allclose(m["cosine_ivf"], m["cosine_bf"], rtol=1e-9)
