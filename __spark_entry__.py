@@ -445,15 +445,29 @@ def q_recurrence_indicators(spark, sf_dir):
 def q_flagship_features(spark, sf_dir):
     """The reference's full 45-feature NPZ contract (README_RL2 §2.2):
     4 tfs × {market_state, mom, bb_width, volume, atr_pct, rv, close} +
-    3 tfs × 4 RSI columns + 4 time encodings + governed base return.
-    Rows-only (recurrences + grouped rank kernels are not SQL-oracleable
-    end-to-end; per-column pandas oracles live in tests/test_flagship.py)."""
-    from quant_feature_pipeline_spark.plans.flagship import run_flagship
+    3 tfs × 4 RSI columns + 4 time encodings + governed base return —
+    round-6 on every feature so the full-pipeline DuckDB oracle
+    (plans/flagship_oracle.py: recursive-CTE recurrences + exact S/Q
+    folds + ASOF merge + self-join ranks) hash-matches. Per-column
+    pandas oracles live in tests/test_flagship.py."""
+    from quant_feature_pipeline_spark.plans.flagship import (
+        flagship_feature_names,
+        run_flagship,
+    )
 
+    cfg = PipelineConfig(base_tf="3m", resample_targets=("3m", "15m", "30m", "2h"))
     bars = bars_from_events(_t(spark, sf_dir, "events"))
-    return run_flagship(
-        bars.select("entity", "ts", "open", "high", "low", "close", "volume"),
-        PipelineConfig(base_tf="3m", resample_targets=("3m", "15m", "30m", "2h")),
+    wide = run_flagship(
+        bars.select("entity", "ts", "open", "high", "low", "close", "volume"), cfg
+    )
+    # shared quantizer floor(x*1e6+0.5)/1e6 instead of round(): SQL
+    # round() breaks decimal ties differently across engines, and the
+    # rank-derived features land exactly on .xxxxxx5 boundaries
+    def q6(c):
+        return (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)
+
+    return wide.select(
+        "entity", "ts", *[q6(c) for c in flagship_feature_names(cfg)]
     )
 
 
@@ -868,6 +882,12 @@ def _ivf_oracle_sql() -> str:
                                   ORDER BY cosine DESC, vec_id ASC) AS rank
         FROM scored QUALIFY rank <= {_IVF_K}
     """
+
+
+def _flagship_oracle_sql_cached() -> str:
+    from quant_feature_pipeline_spark.plans.flagship_oracle import flagship_oracle_sql
+
+    return flagship_oracle_sql()
 
 
 _AXIS_15M_SQL = """
@@ -1321,4 +1341,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "recurrence_indicators": _recurrence_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
+        "flagship_features": _flagship_oracle_sql_cached(),
     }

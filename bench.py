@@ -30,10 +30,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # north-rule token job size (rows = entities * minutes). Entity
-# cardinality is the window-parallelism unit — 64 entities keeps every
-# core busy at local[32], mirroring the >>N-entity reality at 10^12 rows.
-TOKEN_ENTITIES = 64
-TOKEN_MINUTES = 120_000
+# cardinality is the window-parallelism unit: measured on this job,
+# 64 entities leaves 16 cores running 4 chunky waves with stragglers
+# (42.5s at 4x4), 1024 pays per-group Arrow overhead (44.1s); 256 gives
+# ~16 balanced waves (33.1s) — mirroring the >>cores entity reality at
+# 10^12 rows.
+TOKEN_ENTITIES = 256
+TOKEN_MINUTES = 30_000
 
 HEADLINE = [
     "resample_ohlcv_15m",

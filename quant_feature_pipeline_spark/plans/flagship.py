@@ -40,7 +40,7 @@ from ..config import PipelineConfig, tf_seconds
 from ..functions.indicators import _RollStats
 from ..functions.normalize import market_state, tanh_compress
 from ..functions.rank import rolling_rank_multi
-from ..functions.timefeat import time_encodings
+from ..functions.timefeat import time_encodings_rounded
 from ..operators.shift import log_return
 from .features_contract import FeatureManifest, assemble_features, health_check
 from .pipeline import indicator_table, merge_timeframes, resample_all
@@ -115,14 +115,20 @@ def run_flagship(
     )
     df = rs.strip(df)
 
-    # rank-stage inputs + base log return (all JVM expressions)
+    # rank-stage inputs + base log return (all JVM expressions).
+    # The reference applies log1p before ranking; log1p is strictly
+    # monotone, so the mid-rank is IDENTICAL on the raw values — ranking
+    # raw skips a transform whose only effect would be collapsing
+    # within-ulp pairs differently across engines (raw bb/atr/volume are
+    # exact-float chains, so an external oracle reproduces them
+    # bit-for-bit and the rank rationals match exactly)
     prep_cols: dict[str, Column] = {}
     for tf in cfg.resample_targets:
         bw = F.coalesce(F.col(f"{tf}_bb_width"), F.lit(0.0))
-        prep_cols[f"_bw_{tf}"] = F.log1p(F.greatest(bw, F.lit(0.0)))
-        prep_cols[f"_vl_{tf}"] = F.log1p(F.greatest(F.col(f"_vs_{tf}"), F.lit(0.0)))
+        prep_cols[f"_bw_{tf}"] = F.greatest(bw, F.lit(0.0))
+        prep_cols[f"_vl_{tf}"] = F.greatest(F.col(f"_vs_{tf}"), F.lit(0.0))
         ax = F.coalesce(F.col(f"{tf}_atr{cfg.atr_window}_pct"), F.lit(0.0))
-        prep_cols[f"_ax_{tf}"] = F.log1p(F.greatest(ax, F.lit(0.0)))
+        prep_cols[f"_ax_{tf}"] = F.greatest(ax, F.lit(0.0))
     df = df.withColumns(prep_cols)
     df = log_return(df, src="close", out=ret_name, by=by, ts_col=ts_col)
     if persist_stages:
@@ -209,7 +215,9 @@ def run_flagship(
     ret_std = float(s2["ret_std"]) if s2["ret_std"] is not None else 0.0
     tanh_scale = RET_TANH_FACTOR * max(ret_std, 1e-12)
 
-    df = time_encodings(df, ts_col=ts_col)
+    # round-6 lookup variant: engine-libm-independent (see timefeat.py),
+    # and 1e-6 granularity is harmless for [-1,1] features
+    df = time_encodings_rounded(df, ts_col=ts_col)
 
     eps = SHRINK_EPS
     sel: list[Column] = [F.col(by), F.col(ts_col)]
