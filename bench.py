@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "knn_cosine_top3",
+    "ivf_topk",
     "flagship_features",
 ]
 
@@ -226,6 +227,20 @@ def _bench_queries(fast: bool) -> dict:
         cpus=CPUS,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    # warm the session first (JIT/codegen + python-worker spawn) so the
+    # per-query numbers measure the engine, not first-run compilation —
+    # a long-running service is always in this state
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark.range(10_000_000).select(F.sum(F.xxhash64("id"))).first()
+
+    @F.pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(100_000).repartition(CPUS).select(F.sum(_warm("id"))).first()
+
     qs = entrymod.queries()
     names = HEADLINE[:4] if fast else HEADLINE
     out = {}

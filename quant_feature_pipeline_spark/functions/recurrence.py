@@ -196,6 +196,12 @@ def compute_recurrence_indicators(
     by: str = "entity",
     ts_col: str = "ts",
 ) -> DataFrame:
+    """Runs as grouped_apply (explicit hash repartition + mapInPandas),
+    NOT groupBy().applyInPandas: FlatMapGroupsInPandas reports unknown
+    output partitioning, which forces Catalyst to re-exchange the WIDE
+    indicator output for every downstream window/join — mapInPandas
+    preserves the (narrow, pre-stage) entity partitioning, so the later
+    window indicators and the as-of merge need no further exchange."""
     cfg = cfg or PipelineConfig()
     out_schema = recurrence_output_schema(bars.schema, cfg)
     out_cols = [f.name for f in out_schema.fields]
@@ -204,4 +210,6 @@ def compute_recurrence_indicators(
         res = indicator_frame(pdf, cfg, ts_col=ts_col)
         return res[out_cols]
 
-    return bars.groupBy(by).applyInPandas(fn, schema=out_schema)
+    from .grouped import grouped_apply
+
+    return grouped_apply(bars, by, fn, out_schema)
