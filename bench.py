@@ -233,12 +233,12 @@ def _bench_queries(fast: bool) -> dict:
     import pandas as pd
     from pyspark.sql import functions as F
 
-    spark.range(10_000_000).select(F.sum(F.xxhash64("id"))).first()
+    spark.range(10_000_000).select(
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(997)))
+    ).first()
 
-    @F.pandas_udf("long")
-    def _warm(x: pd.Series) -> pd.Series:
-        return x
-
+    _warm = F.pandas_udf(lambda x: x, "long")  # lambda form: postponed
+    # annotations (future import) break hint-based eval-type inference
     spark.range(100_000).repartition(CPUS).select(F.sum(_warm("id"))).first()
 
     qs = entrymod.queries()
