@@ -471,6 +471,63 @@ def q_flagship_features(spark, sf_dir):
     )
 
 
+def q_streaming_resample_15m(spark, sf_dir):
+    """STR — a REAL Structured Streaming execution inside the correctness
+    gate: AvailableNow file-source stream → tumbling 15m OHLCV with
+    watermark → complete-mode memory sink. On bounded input the result
+    equals the batch resample, so the oracle is the same SQL."""
+    import uuid
+
+    from quant_feature_pipeline_spark.streaming.micro import (
+        run_stream_to_table,
+        stream_bars_from_dir,
+        streaming_resample,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-source streams want a directory/glob, not a bare file path
+    ticks = stream_bars_from_dir(
+        spark, f"{sf_dir}/events*.parquet", schema=schema
+    ).select(
+        "user_id",
+        "ts",
+        F.col("value").alias("open"),
+        F.col("value").alias("high"),
+        F.col("value").alias("low"),
+        F.col("value").alias("close"),
+        F.lit(1.0).alias("volume"),
+    )
+    out = streaming_resample(ticks, "15m", by="user_id")
+    name = f"stream_resample_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(out, name)
+    return spark.table(name).select(
+        "user_id", "ts", "open", "high", "low", "close",
+        F.round("volume", R2).alias("volume"), "bar_count",
+    )
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """STR — built-in session_window over an AvailableNow stream,
+    complete mode. session_window end = last event + gap, so the oracle
+    is the batch gaps-and-islands with max(ts) + gap."""
+    import uuid
+
+    from quant_feature_pipeline_spark.streaming.micro import (
+        run_stream_to_table,
+        stream_bars_from_dir,
+        streaming_session_counts,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = stream_bars_from_dir(spark, f"{sf_dir}/events*.parquet", schema=schema)
+    out = streaming_session_counts(ev, gap="30 minutes", by="user_id")
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(out, name)
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def q_boundary_momentum(spark, sf_dir):
     """W2 boundary-anchored momentum (L=3, steps=5) on the event grid."""
     ev = _t(spark, sf_dir, "events").select(
@@ -692,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "recurrence_indicators": q_recurrence_indicators,
         "flagship_features": q_flagship_features,
+        "streaming_resample_15m": q_streaming_resample_15m,
+        "streaming_sessions": q_streaming_sessions,
         "boundary_momentum": q_boundary_momentum,
         "rolling_bars_5": q_rolling_bars_5,
         "union_dedup_merge": q_union_dedup_merge,
@@ -910,6 +969,36 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*)::DOUBLE, 2) AS volume,
                    count(*) AS bar_count
             FROM events GROUP BY 1, 2
+        """,
+        "streaming_resample_15m": """
+            SELECT user_id,
+                   time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS ts,
+                   arg_min(value, ts) AS open,
+                   max(value) AS high,
+                   min(value) AS low,
+                   arg_max(value, ts) AS close,
+                   round(count(*)::DOUBLE, 2) AS volume,
+                   count(*) AS bar_count
+            FROM events GROUP BY 1, 2
+        """,
+        "streaming_sessions": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS flag
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM d
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "asof_backward": f"""
             SELECT e.user_id, e.ts, e.event_id, e.value,

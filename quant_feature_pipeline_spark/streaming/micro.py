@@ -60,6 +60,27 @@ def streaming_resample(
     )
 
 
+def run_stream_to_table(
+    stream_df: DataFrame,
+    table_name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 600,
+) -> None:
+    """Execute a streaming DataFrame to completion with AvailableNow into
+    a memory sink (``spark.table(table_name)`` afterwards). Complete
+    output mode emits every window at the final trigger, so on bounded
+    input the result equals the batch aggregation exactly — append mode
+    would withhold windows the terminal watermark never closed."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
 def streaming_session_counts(
     stream: DataFrame,
     gap: str = "30 minutes",
