@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from quant_feature_pipeline_spark.operators.sessionize import session_stats, sessionize
 
@@ -54,3 +55,31 @@ def test_sessionize_exact_gap_not_new_session(spark):
     )
     got = sessionize(spark.createDataFrame(pdf), gap_s=1800).toPandas()
     assert got["session_id"].tolist() == [1, 1]
+
+
+def test_streaming_equals_batch_resample(spark, tmp_path):
+    """AvailableNow stream -> complete-mode memory sink == batch resample
+    on the same bounded input (run_stream_to_table contract)."""
+    import uuid
+
+    from quant_feature_pipeline_spark.operators.resample import resample_ohlcv
+    from quant_feature_pipeline_spark.streaming.micro import (
+        run_stream_to_table,
+        stream_bars_from_dir,
+        streaming_resample,
+    )
+
+    from .conftest import assert_frame_close, make_bars_pdf
+
+    pdf = make_bars_pdf(n=500, entities=("A", "B"), freq_s=60)
+    src = str(tmp_path / "bars")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = stream_bars_from_dir(spark, src)
+    name = f"t_stream_{uuid.uuid4().hex[:8]}"
+    run_stream_to_table(streaming_resample(stream, "15m"), name)
+    got = spark.table(name).toPandas()
+    want = resample_ohlcv(
+        spark.read.parquet(src).withColumn("ts", F.col("ts").cast("timestamp")),
+        "15m",
+    ).toPandas()
+    assert_frame_close(got, want, keys=["entity", "ts"])
