@@ -104,6 +104,71 @@ def assemble_features(
     return res, manifest
 
 
+def export_npz_contract(
+    wide: DataFrame,
+    manifest: FeatureManifest,
+    path: str,
+    by: str = "entity",
+    ts_col: str = "ts",
+    prices: DataFrame | None = None,
+    metadata: dict | None = None,
+) -> str:
+    """Write the reference's literal NPZ artifact
+    (`/root/reference/tools/export_utils.py:268-290`): version,
+    observations (N,45) float32, feature_names, feature_groups,
+    timestamps (ms), prices (N,4) float64, schema_sha, metadata — with
+    the same tmp-then-rename atomicity.
+
+    This is the OFFLINE/small-scale export (driver-side collect by
+    design, like the reference's single-file npz); the 100 TB path is
+    ``sources.sink.write_table`` parquet + `_manifest.json` with the
+    identical schema_sha. ``prices`` optionally supplies the base OHLC
+    keyed (by, ts); absent columns are NaN-filled like the reference's
+    missing-column fallback."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    if prices is not None:
+        p = prices.select(
+            by, ts_col,
+            *[F.col(c).alias(f"_px_{c}") for c in ("open", "high", "low", "close")],
+        )
+        wide = wide.join(p, [by, ts_col], "left")
+    pdf = wide.orderBy(by, ts_col).toPandas()
+    obs = pdf[manifest.feature_names].to_numpy(dtype="float32")
+    ts_ms = (
+        pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000
+    ).to_numpy()
+    if prices is not None:
+        px = pdf[[f"_px_{c}" for c in ("open", "high", "low", "close")]].to_numpy(
+            dtype="float64"
+        )
+    else:
+        px = np.full((len(pdf), 4), np.nan, dtype="float64")
+    meta = dict(metadata or {})
+    meta.setdefault("n_features", len(manifest.feature_names))
+    meta.setdefault("schema_sha", manifest.schema_sha)
+    tmp = path + ".tmp"
+    np.savez_compressed(
+        tmp,
+        version=np.array("rl_features_v1"),
+        observations=obs,
+        feature_names=np.array(manifest.feature_names, dtype=object),
+        feature_groups=np.array(
+            [manifest.feature_groups[n] for n in manifest.feature_names], dtype=object
+        ),
+        timestamps=ts_ms,
+        prices=px,
+        entities=np.array(pdf[by].astype(str), dtype=object),
+        schema_sha=np.array(manifest.schema_sha),
+        metadata=np.array(_json.dumps(meta, sort_keys=True)),
+    )
+    os.replace(tmp + ".npz", path)
+    return path
+
+
 def health_check(
     df: DataFrame, feature_cols: list[str], sample_ranges: dict[str, tuple[float, float]] | None = None
 ) -> DataFrame:

@@ -179,3 +179,34 @@ def test_health_gate_and_manifest(spark):
     assert (health.loc[bounded, "oor_ratio"] == 0.0).all(), health.loc[
         bounded, "oor_ratio"
     ][health.loc[bounded, "oor_ratio"] > 0]
+
+
+def test_export_npz_contract_roundtrip(spark, tmp_path):
+    """The literal NPZ artifact matches the reference loader's contract:
+    keys, dtypes, shapes, schema_sha, and feature order."""
+    import numpy as np
+
+    from quant_feature_pipeline_spark.plans.features_contract import (
+        export_npz_contract,
+    )
+    from quant_feature_pipeline_spark.plans.pipeline import resample_all
+
+    bars = spark.createDataFrame(make_bars_pdf(n=500, entities=("A",), freq_s=60))
+    wide = run_flagship(bars, CFG)
+    _, manifest = run_flagship_contract(bars, CFG)
+    prices = resample_all(bars, CFG)[CFG.resample_targets[0]].select(
+        "entity", "ts", "open", "high", "low", "close"
+    )
+    out = str(tmp_path / "features.npz")
+    export_npz_contract(wide, manifest, out, prices=prices)
+    with np.load(out, allow_pickle=True) as z:
+        names = z["feature_names"].tolist()
+        obs = z["observations"]
+        assert str(z["version"]) == "rl_features_v1"
+        assert names == manifest.feature_names
+        assert obs.dtype == np.float32
+        assert obs.shape == (z["timestamps"].shape[0], len(names))
+        assert z["prices"].shape == (obs.shape[0], 4)
+        assert not np.isnan(z["prices"]).any()
+        assert str(z["schema_sha"]) == manifest.schema_sha
+        assert (np.diff(z["timestamps"]) > 0).all()  # sorted, ms epoch
