@@ -332,7 +332,7 @@ def _write_bench_md(payload: dict) -> None:
     sk = payload.get("skew", {})
     if sk:
         lines += [
-            "\n## Skew robustness (one HOT entity = ~half of all rows)\n",
+            "\n## Skew robustness (one HOT entity holds most rows)\n",
             f"- input: {sk['left_rows']:,} left rows, {sk['hot_rows']:,} of them on ONE entity; same 15m right axis",
             f"- generic as-of (entity-partitioned sort; hot entity = one straggler task): **{sk['union_ffill_sec']} s**",
             f"- range-bucketed as-of (hot entity split across time buckets): **{sk['bucketed_sec']} s** → {sk['speedup_bucketed']}x",
