@@ -1080,8 +1080,11 @@ def oracle_sql() -> dict[str, str]:
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ),
             s AS (
-              SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              -- CAST: DuckDB's integer SUM yields HUGEINT, which fetchdf()
+              -- materializes as float64 while Spark emits int64 — equal
+              -- values, different bytes under a dtype-sensitive hash.
+              SELECT *, CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM d
             )
             SELECT user_id, session_id,

@@ -34,10 +34,14 @@ def time_encodings(df: DataFrame, ts_col: str = "ts", prefix: str = "time_") -> 
 # sin(pi/6) = 0.5 where a 1-ulp difference flips round-6. Precomputing the
 # rounded values once in Python and emitting them as literals on BOTH
 # sides makes the comparison engine-independent.
-DAY_SIN6 = [round(math.sin(TWO_PI * d / 7.0), 6) for d in range(7)]
-DAY_COS6 = [round(math.cos(TWO_PI * d / 7.0), 6) for d in range(7)]
-HOUR_SIN6 = [round(math.sin(TWO_PI * h / 24.0), 6) for h in range(24)]
-HOUR_COS6 = [round(math.cos(TWO_PI * h / 24.0), 6) for h in range(24)]
+# ``+ 0.0`` normalizes -0.0 -> +0.0: round(cos(2*pi*18/24), 6) is -0.0 in
+# Python, Spark's element_at(array(lit(-0.0))) keeps the sign bit while
+# DuckDB's list_extract normalizes it, so a byte-level content hash diverges
+# on identical values unless the literal itself is sign-normalized.
+DAY_SIN6 = [round(math.sin(TWO_PI * d / 7.0), 6) + 0.0 for d in range(7)]
+DAY_COS6 = [round(math.cos(TWO_PI * d / 7.0), 6) + 0.0 for d in range(7)]
+HOUR_SIN6 = [round(math.sin(TWO_PI * h / 24.0), 6) + 0.0 for h in range(24)]
+HOUR_COS6 = [round(math.cos(TWO_PI * h / 24.0), 6) + 0.0 for h in range(24)]
 
 
 def _lut(vals: list[float], idx) -> Column:

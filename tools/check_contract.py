@@ -26,17 +26,35 @@ TABLES = [
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name + rows by value, like the driver's gate.
+
+    Hash-faithful: floats stay float64 (compared bit-for-bit later) and
+    integers keep their dtype (int32 vs int64 vs float64 is a REAL
+    mismatch the driver's content hash sees — do not paper over it).
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            pass
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")  # tolerate int32/int64 diffs
+            # width-normalize only (int32->int64 passed the driver's hash in
+            # r2); int<->float KIND mismatches are checked strictly in compare
+            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), na_position="first").reset_index(drop=True)
+
+
+def _float_bits_equal(av: pd.Series, bv: pd.Series) -> np.ndarray:
+    """Bit-pattern equality per element, after canonicalizing NaN.
+
+    Catches ±0.0 (different sign bit, equal value) and NaN-payload
+    differences — exactly what value-level ``allclose`` masks but a
+    byte-level content hash sees.
+    """
+    a = np.ascontiguousarray(av.to_numpy(dtype="float64", na_value=np.nan))
+    b = np.ascontiguousarray(bv.to_numpy(dtype="float64", na_value=np.nan))
+    a[np.isnan(a)] = np.nan  # canonical quiet-NaN bit pattern
+    b[np.isnan(b)] = np.nan
+    return a.view("uint64") == b.view("uint64")
 
 
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]:
@@ -47,10 +65,23 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av):
-            ok = np.allclose(av.fillna(-9e99), bv.fillna(-9e99), rtol=0, atol=0, equal_nan=True)
+        a_float, b_float = pd.api.types.is_float_dtype(av), pd.api.types.is_float_dtype(bv)
+        a_int, b_int = pd.api.types.is_integer_dtype(av), pd.api.types.is_integer_dtype(bv)
+        if (a_float or a_int) and (b_float or b_int):
+            # strict KIND parity: HUGEINT->float64 vs int64 is a hash fail
+            if a_float != b_float:
+                return False, f"numeric kind differs in col {c}: {av.dtype} vs {bv.dtype}"
+        if a_float and b_float:
+            eq = _float_bits_equal(av, bv)
+            ok = bool(eq.all())
+            if not ok:
+                idx = np.nonzero(~eq)[0][:3].tolist()
+                return False, f"float bits differ in col {c}: {[(c, i, av.iloc[i], bv.iloc[i]) for i in idx]}"
+            continue
+        if av.dtype == object:
+            ok = av.fillna("__null__").equals(bv.fillna("__null__"))
         else:
-            ok = av.fillna("__null__").equals(bv.fillna("__null__")) if av.dtype == object else av.equals(bv)
+            ok = av.equals(bv)
             if not ok and pd.api.types.is_datetime64_any_dtype(av):
                 ok = (av.fillna(pd.Timestamp(0)) == bv.fillna(pd.Timestamp(0))).all()
         if not ok:
