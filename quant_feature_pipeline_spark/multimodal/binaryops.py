@@ -38,8 +38,15 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def synth_media_table(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic fake media rows (payload = seeded pseudo-random
-    bytes) for exercising the plumbing."""
+    """Deterministic fake media rows (payload = seeded digest bytes) for
+    exercising the plumbing.
+
+    Every column is reproducible OUTSIDE Spark with hashlib + integer
+    arithmetic (payload = UTF-8 bytes of sha512-hex of f"{seed}{id}";
+    width/height/duration are modular-arithmetic of id), so an
+    independent Python oracle can assert the whole media pipeline
+    byte-for-byte — see ``__spark_entry__._media_expected_rows``.
+    """
     df = spark.range(n).select(
         F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_id"),
         F.element_at(
@@ -50,15 +57,9 @@ def synth_media_table(spark: SparkSession, n: int = 256, seed: int = 42) -> Data
         .cast("binary")
         .alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
-        (F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1920)) + 1)
-        .cast("int")
-        .alias("width"),
-        (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(1080)) + 1)
-        .cast("int")
-        .alias("height"),
-        (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 2)), F.lit(600000)))
-        .cast("long")
-        .alias("duration_ms"),
+        (F.pmod(F.col("id") * 37, F.lit(1920)) + 1).cast("int").alias("width"),
+        (F.pmod(F.col("id") * 53, F.lit(1080)) + 1).cast("int").alias("height"),
+        F.pmod(F.col("id") * 7919, F.lit(600000)).cast("long").alias("duration_ms"),
     )
     return df
 
