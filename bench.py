@@ -219,7 +219,8 @@ def _scaling() -> dict:
 
 
 def _skew_bench() -> dict:
-    """Skew robustness, measured: one HOT entity holds ~half the rows.
+    """Skew robustness, measured: one HOT entity holds ~87% of the rows
+    (20M of ~23.1M).
     The generic as-of join partitions by entity, so the hot entity's
     sort runs in ONE task (straggler-bound); the range-bucketed as-of
     splits the same entity across time buckets. Same output rows, same

@@ -2,11 +2,13 @@
 
 ``applyInPandas`` pays a fixed Python-side cost per group (Arrow batch
 + DataFrame construction), which dominates when groups are small/many.
-``grouped_apply`` instead hash-repartitions by the group key, sorts
-within partitions, and runs ONE ``mapInPandas`` over each partition,
-splitting into groups with a pandas groupby — identical semantics for
-whole-key groups (hash partitioning puts a key's rows in exactly one
-partition), a fraction of the overhead.
+``grouped_apply`` instead hash-repartitions by the group key and runs
+ONE ``mapInPandas`` over each partition, splitting into groups with a
+pandas groupby — identical semantics for whole-key groups (hash
+partitioning puts a key's rows in exactly one partition), a fraction of
+the overhead. NOTE: rows arrive in arbitrary order within each group —
+``fn`` MUST sort its group itself if it is order-sensitive (the
+indicator/rank kernels here all do).
 
 Memory note: buffers one partition per task (like applyInPandas buffers
 one group); partition sizing via spark.sql.shuffle.partitions /

@@ -46,6 +46,23 @@ def _right_value_cols(left: DataFrame, right: DataFrame, by: str, on: str) -> li
     return [c for c in right.columns if c not in (by, on)]
 
 
+def _dup_rank(df: DataFrame, part_cols: list[str], on: str):
+    """Deterministic per-row id within ``part_cols``: row_number ordered
+    by (on, content-hash tiebreaker). ``monotonically_increasing_id`` is
+    NOT stable across task retries or plan re-executions when upstream
+    row order is shuffle-dependent — two recomputations of the same
+    frame can assign different ids, silently mispairing any later
+    self-join on the id (ADVICE r2). A row_number keyed on row CONTENT
+    is: rows that tie on the full hash are byte-identical, hence
+    interchangeable, so any assignment among them yields the same
+    relation."""
+    h2 = F.xxhash64(F.lit(7), *[F.col(c) for c in df.columns])
+    w = Window.partitionBy(*[F.col(c) for c in part_cols]).orderBy(
+        F.col(on).asc(), h2.asc()
+    )
+    return F.row_number().over(w)
+
+
 def _prefixed(cols: list[str], prefix: str) -> list[str]:
     return [f"{prefix}{c}" for c in cols]
 
@@ -91,9 +108,8 @@ def asof_join_union_ffill(
     **_: object,
 ) -> DataFrame:
     if direction == "nearest":
-        return _asof_nearest(
-            left, right, on, by, allow_exact_matches, tolerance_s, right_prefix,
-            asof_join_union_ffill,
+        return _asof_nearest_union(
+            left, right, on, by, allow_exact_matches, tolerance_s, right_prefix
         )
     vcols = _right_value_cols(left, right, by, on)
     out_names = _prefixed(vcols, right_prefix)
@@ -239,88 +255,90 @@ def asof_join_bucketed(
     (forward) bucket — computed by a cheap per-bucket fill over the (tiny)
     bucket axis. ``nearest`` composes the two directional passes.
     """
-    if direction == "nearest":
-        return _asof_nearest(
-            left, right, on, by, allow_exact_matches, tolerance_s, right_prefix,
-            asof_join_bucketed,
-        )
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction}")
     fwd = direction == "forward"
+    nearest = direction == "nearest"
     vcols = _right_value_cols(left, right, by, on)
     out_names = _prefixed(vcols, right_prefix)
     lcols = [c for c in left.columns if c not in (by, on)]
     bucket = lambda c: F.floor(epoch_seconds(F.col(c)) / bucket_s).cast("long")  # noqa: E731
 
-    l_b = left.withColumn("_bkt", bucket(on)).withColumn(
-        "_lid", F.monotonically_increasing_id()
-    )
+    # deterministic per-row id within (by, bucket): the row_number's
+    # (by, _bkt) hash partitioning is exactly the downstream join key, so
+    # Catalyst reuses the exchange — and unlike the previous
+    # monotonically_increasing_id it is stable under task retry.
+    l_b = left.withColumn("_bkt", bucket(on))
+    l_b = l_b.withColumn("_lid", _dup_rank(l_b, [by, "_bkt"], on))
     r_b = right.withColumn("_bkt", bucket(on))
 
-    # boundary right row per (entity, bucket): latest for backward,
-    # earliest for forward
-    w_last = Window.partitionBy(by, "_bkt").orderBy(
-        F.col(on).asc() if fwd else F.col(on).desc()
-    )
-    last_per_bucket = (
-        r_b.withColumn("_rn", F.row_number().over(w_last)).filter(F.col("_rn") == 1).drop("_rn")
-    )
-
-    # bucket axis = all buckets seen on either side; fill the boundary
-    # right payload over the axis excluding the current bucket, so bucket
-    # b gets "nearest right strictly before b's start" (backward) /
-    # "strictly after b's end" (forward)
-    axis = (
-        l_b.select(by, "_bkt").unionByName(r_b.select(by, "_bkt")).distinct()
-    )
-    lpb = last_per_bucket.select(
-        by, "_bkt", *[F.col(c).alias(f"_c_{c}") for c in vcols + [on]]
-    )
-    if fwd:
-        w_carry = (
-            Window.partitionBy(by)
-            .orderBy("_bkt")
-            .rowsBetween(1, Window.unboundedFollowing)
+    # boundary right row per (entity, bucket) for each needed direction:
+    # latest for backward carry, earliest for forward carry
+    def _carry(carry_fwd: bool) -> DataFrame:
+        w_last = Window.partitionBy(by, "_bkt").orderBy(
+            F.col(on).asc() if carry_fwd else F.col(on).desc()
         )
-        fill = lambda c: F.first(c, ignorenulls=True).over(w_carry)  # noqa: E731
-    else:
-        w_carry = (
-            Window.partitionBy(by)
-            .orderBy("_bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)
+        lpb = (
+            r_b.withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .select(by, "_bkt", *[F.col(c).alias(f"_c_{c}") for c in vcols + [on]])
         )
-        fill = lambda c: F.last(c, ignorenulls=True).over(w_carry)  # noqa: E731
-    carry = (
-        axis.join(lpb, [by, "_bkt"], "left")
-        .select(
-            by,
-            "_bkt",
-            *[fill(f"_c_{c}").alias(f"_p_{c}") for c in vcols + [on]],
+        # bucket axis = all buckets seen on either side; fill the
+        # boundary payload over the axis excluding the current bucket, so
+        # bucket b gets "nearest right strictly before b's start"
+        # (backward) / "strictly after b's end" (forward)
+        axis = l_b.select(by, "_bkt").unionByName(r_b.select(by, "_bkt")).distinct()
+        if carry_fwd:
+            w_carry = (
+                Window.partitionBy(by)
+                .orderBy("_bkt")
+                .rowsBetween(1, Window.unboundedFollowing)
+            )
+            fill = lambda c: F.first(c, ignorenulls=True).over(w_carry)  # noqa: E731
+        else:
+            w_carry = (
+                Window.partitionBy(by)
+                .orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            fill = lambda c: F.last(c, ignorenulls=True).over(w_carry)  # noqa: E731
+        return axis.join(lpb, [by, "_bkt"], "left").select(
+            by, "_bkt", *[fill(f"_c_{c}").alias(f"_p_{c}") for c in vcols + [on]]
         )
-    )
 
-    # candidates: right rows in the same bucket ∪ the carry row
-    same = r_b.select(
-        by, "_bkt", *[F.col(c).alias(f"_p_{c}") for c in vcols + [on]]
-    )
-    candidates = same.unionByName(
-        carry.filter(F.col(f"_p_{on}").isNotNull())
-    )
+    # candidates: right rows in the same bucket ∪ the carry row(s);
+    # nearest needs carries from BOTH directions
+    same = r_b.select(by, "_bkt", *[F.col(c).alias(f"_p_{c}") for c in vcols + [on]])
+    candidates = same
+    for cf in ([False, True] if nearest else [fwd]):
+        candidates = candidates.unionByName(
+            _carry(cf).filter(F.col(f"_p_{on}").isNotNull())
+        )
 
-    if fwd:
+    d_fwd = epoch_seconds(F.col(f"_p_{on}")) - epoch_seconds(F.col(on))
+    d_bwd = epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_p_{on}"))
+    if nearest:
+        cond_ts = (
+            F.lit(True)
+            if allow_exact_matches
+            else F.col(f"_p_{on}") != F.col(on)
+        )
+        delta = F.abs(d_fwd)
+    elif fwd:
         cond_ts = (
             F.col(f"_p_{on}") >= F.col(on)
             if allow_exact_matches
             else F.col(f"_p_{on}") > F.col(on)
         )
-        delta = epoch_seconds(F.col(f"_p_{on}")) - epoch_seconds(F.col(on))
+        delta = d_fwd
     else:
         cond_ts = (
             F.col(f"_p_{on}") <= F.col(on)
             if allow_exact_matches
             else F.col(f"_p_{on}") < F.col(on)
         )
-        delta = epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_p_{on}"))
+        delta = d_bwd
     if tolerance_s is not None:
         cond_ts = cond_ts & (delta <= float(tolerance_s))
     joined = l_b.join(candidates, [by, "_bkt"], "left").withColumn(
@@ -333,14 +351,19 @@ def asof_join_bucketed(
     # would instead sort-shuffle EVERY candidate row keyed by _lid.
     # A left row with no admissible candidate keeps exactly one null row.
     payload = F.struct(F.col("_ok"), *[F.col(f"_p_{c}") for c in vcols + [on]])
-    if fwd:
+    if nearest:
+        # min |delta| among admissible; ties prefer the backward match
+        # (smaller right ts), matching pandas merge_asof 'nearest'
+        pick = F.min_by(
+            payload, F.struct(~F.col("_ok"), F.abs(d_fwd), F.col(f"_p_{on}"))
+        )
+    elif fwd:
         # smallest admissible right ts: ok-first (~_ok sorts false<true),
         # then min p_on (null p_on only occurs on not-ok rows)
         pick = F.min_by(payload, F.struct(~F.col("_ok"), F.col(f"_p_{on}")))
     else:
         pick = F.max_by(payload, F.struct(F.col("_ok"), F.col(f"_p_{on}")))
-    picked = joined.groupBy("_lid").agg(
-        F.first(by).alias(by),
+    picked = joined.groupBy(by, "_bkt", "_lid").agg(
         F.first(on).alias(on),
         *[F.first(c).alias(c) for c in lcols],
         pick.alias("_best"),
@@ -357,41 +380,82 @@ def asof_join_bucketed(
     )
 
 
-def _asof_nearest(left, right, on, by, allow_exact, tol_s, prefix, impl):
-    """nearest = argmin(|ts - rts|) of the backward and forward matches.
+def _asof_nearest_union(left, right, on, by, allow_exact, tol_s, prefix):
+    """nearest = argmin(|ts - rts|) of the backward and forward matches,
+    computed in ONE union pass: both directional fills are window frames
+    over the SAME entity-partitioned union, evaluated row-aligned — so
+    there is no recombination join and no synthetic row id (the previous
+    two-branch form paired branches on monotonically_increasing_id,
+    which is unstable across plan re-executions; ADVICE r2).
 
-    The two directional passes are recombined on a synthetic unique row
-    id, NOT on (by, on) — duplicate left timestamps per entity would fan
-    out under a key join."""
+    Sort orders: with exact matches allowed both frames share ONE
+    in-partition sort (right-before-left at equal ts) — the forward
+    frame then misses the equal-ts right row, but the backward frame
+    catches it at distance 0, which argmin prefers anyway. With
+    allow_exact=False the two frames genuinely need opposite tag
+    orders (two sorts, still one exchange)."""
     vcols = _right_value_cols(left, right, by, on)
-    lidded = left.withColumn("_nn_lid", F.monotonically_increasing_id())
-    bwd = impl(
-        lidded, right, on=on, by=by, direction="backward",
-        allow_exact_matches=allow_exact, tolerance_s=tol_s, right_prefix="_b_",
+    out_names = _prefixed(vcols, prefix)
+    lcols = [c for c in left.columns if c not in (by, on)]
+
+    l_tagged = left.select(
+        F.col(by), F.col(on), F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in vcols],
+        F.lit(None).cast(left.schema[on].dataType).alias("_rts"),
     )
-    fwd = impl(
-        lidded, right, on=on, by=by, direction="forward",
-        allow_exact_matches=allow_exact, tolerance_s=tol_s, right_prefix="_f_",
+    r_tagged = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in vcols],
+        F.col(on).cast(left.schema[on].dataType).alias("_rts"),
     )
-    lkey = [by, on] + [c for c in left.columns if c not in (by, on)]
-    both = bwd.join(
-        fwd.select("_nn_lid", *[f"_f_{c}" for c in vcols], f"_f_matched_{on}"),
-        "_nn_lid",
+    u = l_tagged.unionByName(r_tagged)
+
+    # forward frame always uses side asc (right-before-left at equal ts
+    # excludes the equal-ts right from frame(0, following) — with exact
+    # allowed, backward covers it at distance 0); backward flips on
+    # allow_exact like the directional impl.
+    side_b = F.col("_side").asc() if allow_exact else F.col("_side").desc()
+    side_f = F.col("_side").asc()
+    wb = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), side_b)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    db = F.abs(epoch_seconds(F.col(on)) - epoch_seconds(F.col(f"_b_matched_{on}")))
-    df_ = F.abs(epoch_seconds(F.col(f"_f_matched_{on}")) - epoch_seconds(F.col(on)))
-    use_b = F.col(f"_f_matched_{on}").isNull() | (
-        F.col(f"_b_matched_{on}").isNotNull() & (db <= df_)
+    wf = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), side_f)
+        .rowsBetween(0, Window.unboundedFollowing)
     )
+    filled = u.select(
+        F.col(by), F.col(on), F.col("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.last(f"_r_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}") for c in vcols],
+        F.last("_rts", ignorenulls=True).over(wb).alias("_brts"),
+        *[F.first(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}") for c in vcols],
+        F.first("_rts", ignorenulls=True).over(wf).alias("_frts"),
+    ).filter(F.col("_side") == 1)
+
+    db = F.abs(epoch_seconds(F.col(on)) - epoch_seconds(F.col("_brts")))
+    df_ = F.abs(epoch_seconds(F.col("_frts")) - epoch_seconds(F.col(on)))
+    b_ok = F.col("_brts").isNotNull()
+    f_ok = F.col("_frts").isNotNull()
+    if tol_s is not None:
+        b_ok = b_ok & (db <= F.lit(float(tol_s)))
+        f_ok = f_ok & (df_ <= F.lit(float(tol_s)))
+    use_b = b_ok & (~f_ok | (db <= df_))
     sel = [
-        F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(f"{prefix}{c}")
-        for c in vcols
+        F.when(use_b, F.col(f"_b_{c}"))
+        .when(f_ok, F.col(f"_f_{c}"))
+        .alias(o)
+        for c, o in zip(vcols, out_names)
     ] + [
-        F.when(use_b, F.col(f"_b_matched_{on}"))
-        .otherwise(F.col(f"_f_matched_{on}"))
+        F.when(use_b, F.col("_brts"))
+        .when(f_ok, F.col("_frts"))
         .alias(f"{prefix}matched_{on}")
     ]
-    return both.select(*[F.col(c) for c in lkey], *sel)
+    return filled.select(F.col(by), F.col(on), *[F.col(c) for c in lcols], *sel)
 
 
 def asof_join_multi(
@@ -443,8 +507,14 @@ def asof_join_multi(
         carry_left_payload = len(lcols) <= 12
     carried = lcols if carry_left_payload else []
 
+    # deterministic per-row id within (by): stable under task retry and
+    # across the two plan subtrees that recompute `lidded` (the narrow
+    # match and the payload re-attach join) — monotonically_increasing_id
+    # could assign different ids per recomputation and silently mispair
+    # (ADVICE r2). The id window's HashPartitioning(by) is reused by the
+    # (by, _mlid) re-attach join on both sides.
     lidded = (
-        left.withColumn("_mlid", F.monotonically_increasing_id())
+        left.withColumn("_mlid", _dup_rank(left, [by], on))
         if lcols and not carry_left_payload
         else left
     )
@@ -500,11 +570,11 @@ def asof_join_multi(
         )
 
     if lcols and not carry_left_payload:
-        # wide left payload: re-attach on the unique row id (joining on
-        # (by, on) would fan out duplicate left ts)
+        # wide left payload: re-attach on (by, unique-in-by row id) —
+        # joining on (by, on) would fan out duplicate left ts
         out = (
-            matched.select("_mlid", *[f"_m_{i}" for i in range(len(prefixes))])
-            .join(lidded, "_mlid", "inner")
+            matched.select(by, "_mlid", *[f"_m_{i}" for i in range(len(prefixes))])
+            .join(lidded, [by, "_mlid"], "inner")
             .drop("_mlid")
         )
     else:

@@ -78,7 +78,15 @@ def run_stream_to_table(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # awaitTermination returns False on timeout with the query still
+    # running — a caller reading the memory table then would see a
+    # partially-filled result and silently pass it downstream. Fail loud.
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query '{table_name}' did not finish within {timeout_s}s"
+        )
 
 
 def streaming_session_counts(

@@ -80,6 +80,8 @@ def _oracle(left, right, direction, allow_exact, tol_s):
         ("forward", False, None),
         ("nearest", True, None),
         ("nearest", True, 600),
+        ("nearest", False, None),
+        ("nearest", False, 600),
     ],
 )
 def test_asof_matches_pandas(spark, strategy, direction, allow_exact, tol_s):
@@ -119,18 +121,21 @@ def test_asof_prefix(spark):
     assert "15m_rval" in got.columns and "15m_matched_ts" in got.columns
 
 
+@pytest.mark.parametrize("direction", ["backward", "nearest"])
 @pytest.mark.parametrize("bucket_s", [900, 3600, 86400])
-def test_asof_bucketed_bucket_sizes(spark, bucket_s):
-    """Bucket size must not change results — boundary carry correctness."""
+def test_asof_bucketed_bucket_sizes(spark, bucket_s, direction):
+    """Bucket size must not change results — boundary carry correctness
+    (nearest exercises the dual-direction carry union)."""
     lpdf, rpdf = _left_right()
     from quant_feature_pipeline_spark.operators.asof import asof_join_bucketed
 
     got = asof_join_bucketed(
         spark.createDataFrame(lpdf),
         spark.createDataFrame(rpdf),
+        direction=direction,
         bucket_s=bucket_s,
     ).toPandas()
-    want = _oracle(lpdf, rpdf, "backward", True, None)
+    want = _oracle(lpdf, rpdf, direction, True, None)
     assert_frame_close(got, want, keys=["entity", "ts", "lval"])
 
 
