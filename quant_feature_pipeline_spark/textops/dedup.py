@@ -107,16 +107,30 @@ def minhash_lsh_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float | None = 0.7,
+    max_bucket: int | None = 1024,
+    log_dropped: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs from banded MinHash, optionally verified
-    with exact shingle Jaccard. Output: (id_a, id_b, jaccard)."""
+    """Candidate near-dup pairs from banded MinHash, verified with exact
+    shingle Jaccard. Output: (id_a, id_b, jaccard).
+
+    Candidate generation is ONE aggregation, not a self-join: group the
+    exploded (band_idx, band_hash) rows per bucket, then emit each
+    bucket's id-combinations with an in-row transform over the (tiny, by
+    the LSH contract) sorted id array. The signature table is consumed
+    exactly once, so it needs no persist, and only 16-byte band rows
+    ever reach the shuffle. ``max_bucket`` drops degenerate buckets
+    bigger than that (a bucket of k ids emits k·(k-1)/2 pairs — an
+    all-equal-hash pathology would go quadratic); dropped buckets mean
+    MISSED candidates for documents whose only collision is in a mega
+    bucket — pass None for the uncapped result, ``log_dropped`` to count
+    the dropped buckets (one extra job).
+
+    Returns the verified pairs persisted + materialized (they are tiny);
+    the intermediate candidate cache is unpersisted before returning.
+    """
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
-    # Materialize signatures once: they feed the band join twice
-    # (self-join). On a real cluster this is a checkpointed signature
-    # table.
-    sigs = sigs.persist()
     # Banding as a literal struct array: measured 600x faster than the
     # equivalent nested transform(sequence(...), slice(...)) formulation,
     # which falls off the codegen path entirely.
@@ -134,48 +148,77 @@ def minhash_lsh_dup_pairs(
         F.explode(band_arr).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_hash")
 
-    # candidate ids first (16-byte rows through the band shuffle), dedup,
-    # THEN attach the heavy shingle arrays for the exact-Jaccard verify —
-    # at 100 TB the band join must never carry payloads
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        if log_dropped:
+            import logging
+
+            n_dropped = buckets.filter(F.size("ids") > max_bucket).count()
+            if n_dropped:
+                logging.getLogger(__name__).warning(
+                    "minhash_lsh_dup_pairs: dropped %d buckets larger than %d "
+                    "ids (quadratic-bucket cap; candidates in them are missed)",
+                    n_dropped, max_bucket,
+                )
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    # k ids -> k(k-1)/2 (id_a < id_b) pairs; interpreted HOF but over
+    # arrays of a few elements each
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact-Jaccard verify on JVM shingle sets computed ONLY for the
-    # candidate documents — the (interpreted, ~15 µs/shingle) shingle
-    # expression never runs over the full corpus. AQE broadcasts the
-    # candidate-id list when it is small (the LSH contract).
+    # exact-Jaccard verify ONLY for the candidate pairs, in one Arrow
+    # stage over the candidates' raw texts: shingle sets + set algebra in
+    # numpy/python (the `_py_shingle_set` twin of the JVM expression —
+    # asserted equal on shared pairs in tests/test_textops.py). The
+    # previous JVM array_intersect/array_union form required the
+    # interpreted (~15 µs/shingle) shingle HOF per candidate document,
+    # which dominated wall time. AQE broadcasts the candidate side.
     cand = cand.persist()
-    cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    sh_tbl = df.join(cand_ids, id_col).select(
-        F.col(id_col), shingles(text_col, shingle_n)
-    )
+
+    @F.pandas_udf(T.DoubleType())
+    def _jac_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        vals = np.empty(len(ta), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa = set(_py_shingle_set(x, shingle_n))
+            sb = set(_py_shingle_set(y, shingle_n))
+            u = len(sa | sb)
+            vals[i] = len(sa & sb) / u if u else float("nan")
+        return pd.Series(vals)
+
+    texts = df.select(F.col(id_col), F.col(text_col))
     pairs = (
-        cand.join(sh_tbl.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
-        .join(sh_tbl.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        cand.join(
+            texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_t_a")),
+            "id_a",
+        ).join(
+            texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_t_b")),
+            "id_b",
+        )
     )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b"))
-    ).alias("jaccard")
-    out = pairs.select("id_a", "id_b", jac)
+    out = pairs.select("id_a", "id_b", _jac_udf("_t_a", "_t_b").alias("jaccard"))
     if jaccard_threshold is not None:
         out = out.filter(F.col("jaccard") >= jaccard_threshold)
+    # materialize the (small) verified result, then release the
+    # candidate cache — repeated invocations in a long session must not
+    # accumulate cached blocks (ADVICE r2)
+    out = out.persist()
+    out.count()
+    cand.unpersist()
     return out
 
 

@@ -66,6 +66,19 @@ def test_minhash_jaccard_exactness(spark):
     assert len(j01) == 1 and j01.iloc[0] == 1.0
 
 
+def test_minhash_jaccard_matches_jvm_ngram_path(spark):
+    """minhash's verify stage computes jaccard from the _py_shingle_set
+    twin in an Arrow stage; ngram_jaccard_pairs computes it from the JVM
+    shingle expression. On every pair both emit, the values must be
+    IDENTICAL — this pins the Python twin to the JVM tokenizer."""
+    docs = _docs(spark)
+    mh = minhash_lsh_dup_pairs(docs, jaccard_threshold=None).toPandas()
+    ng = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.0).toPandas()
+    merged = mh.merge(ng, on=["id_a", "id_b"], suffixes=("_mh", "_ng"))
+    assert len(merged) > 0
+    assert (merged["jaccard_mh"] == merged["jaccard_ng"]).all(), merged
+
+
 def test_simhash_pairs(spark):
     docs = _docs(spark)
     pairs = simhash_dup_pairs(docs, max_hamming=10).toPandas()
