@@ -22,7 +22,9 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 
 def grouped_apply(
@@ -46,3 +48,102 @@ def grouped_apply(
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(parts, by).mapInPandas(run, schema=schema)
+
+
+def grouped_apply_chunked(
+    df: DataFrame,
+    by: str,
+    ts_col: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType,
+    chunk_rows: int = 262_144,
+    warmup_rows: int = 4_096,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """grouped_apply for HUGE entities: no task ever buffers a whole
+    entity history in pandas.
+
+    Each entity's ts-ordered rows are split into ``chunk_rows`` chunks;
+    the last ``warmup_rows`` rows of every chunk are REPLICATED into the
+    next chunk as warm-up (the same replay-a-tail warm-start the
+    incremental resume uses, plans/checkpoint.py / reference
+    `step2_resample.py:370-397`), ``fn`` runs per (entity, chunk), and
+    the warm rows are sliced off the output. Memory per task is bounded
+    by chunk_rows + warmup_rows regardless of entity size, and a single
+    entity's chunks process in PARALLEL (shuffle key is (by, chunk)).
+
+    Output equality vs the unchunked path: EXACT for kernels whose state
+    window is <= warmup_rows (rolling windows, lags); for infinite-decay
+    recurrences (EMA/Wilder) the seed error shrinks by (1-alpha) per
+    warm-up row, so warmup_rows >= ~53·ln2/alpha_min drives it below
+    float64 ulp — the default 4096 covers the indicator stack's slowest
+    alpha (span-200 EMA needs ~3.7k rows); asserted bit-identical in
+    tests/test_grouped_chunked.py.
+
+    ``fn`` contract (stricter than grouped_apply): one output row per
+    input row, ordered by ts ascending with a STABLE sort (ties keep
+    input order) — indicator_frame and the rank kernels comply. The
+    JVM-side row_number sort spills to disk, so assigning chunk ids does
+    not reintroduce the memory hazard. Note the output partitioning is
+    (by, chunk), not (by): a downstream per-entity window or join will
+    re-exchange — use plain grouped_apply when entities fit in memory.
+    """
+    if warmup_rows > chunk_rows:
+        raise ValueError(
+            f"warmup_rows ({warmup_rows}) must be <= chunk_rows ({chunk_rows}): "
+            "warm rows replicate only from the immediately preceding chunk"
+        )
+    cols = [f.name for f in schema.fields]
+    helper = ["_rn", "_ck", "_warm"]
+
+    # deterministic rank: content-hash tiebreaker for duplicate ts (ties
+    # among byte-identical rows are interchangeable)
+    tiebreak = F.xxhash64(F.lit(13), *[F.col(c) for c in df.columns])
+    w = Window.partitionBy(by).orderBy(F.col(ts_col).asc(), tiebreak.asc())
+    # the per-entity max rank shares the row_number window's exchange
+    # (same partitioning, no extra shuffle) and stops warm rows from
+    # replicating into a chunk that would hold no real rows
+    base = df.withColumn("_rn", F.row_number().over(w) - 1).withColumn(
+        "_last", F.max(F.col("_rn")).over(Window.partitionBy(by))
+    )
+    pos = F.col("_rn") % chunk_rows
+    ck = (F.col("_rn") / chunk_rows).cast("long")
+    own = F.struct(ck.alias("c"), F.lit(False).alias("w"))
+    also_next = F.struct((ck + 1).alias("c"), F.lit(True).alias("w"))
+    next_exists = (ck + 1) * chunk_rows <= F.col("_last")
+    dup = base.select(
+        *[F.col(c) for c in df.columns],
+        F.col("_rn"),
+        F.explode(
+            F.when(
+                (pos >= chunk_rows - warmup_rows) & next_exists,
+                F.array(own, also_next),
+            ).otherwise(F.array(own))
+        ).alias("_cw"),
+    ).select(
+        *[F.col(c) for c in df.columns],
+        F.col("_rn"),
+        F.col("_cw.c").alias("_ck"),
+        F.col("_cw.w").alias("_warm"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
+        for _, g in pdf.groupby([by, "_ck"], sort=False):
+            g = g.sort_values("_rn", kind="mergesort")
+            n_warm = int(g["_warm"].sum())
+            out = fn(g.drop(columns=helper).reset_index(drop=True))
+            # fn is row-aligned and stable-sorted by ts, and warm rows
+            # strictly precede real rows in _rn order, so they are
+            # exactly the first n_warm output rows
+            res = out.iloc[n_warm:]
+            if len(res):
+                yield res[cols]
+
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return dup.repartition(parts, by, "_ck").mapInPandas(run, schema=schema)

@@ -195,13 +195,21 @@ def compute_recurrence_indicators(
     cfg: PipelineConfig | None = None,
     by: str = "entity",
     ts_col: str = "ts",
+    chunk_rows: int | None = None,
+    warmup_rows: int = 4_096,
 ) -> DataFrame:
     """Runs as grouped_apply (explicit hash repartition + mapInPandas),
     NOT groupBy().applyInPandas: FlatMapGroupsInPandas reports unknown
     output partitioning, which forces Catalyst to re-exchange the WIDE
     indicator output for every downstream window/join — mapInPandas
     preserves the (narrow, pre-stage) entity partitioning, so the later
-    window indicators and the as-of merge need no further exchange."""
+    window indicators and the as-of merge need no further exchange.
+
+    ``chunk_rows`` opts into grouped_apply_chunked for corpora where a
+    single entity's history exceeds task memory: the entity is split
+    into warm-up-overlapped chunks that process in parallel (default
+    warmup 4096 rows drives the slowest recurrence seed error — span-200
+    EMA — below float64 ulp; see grouped.py)."""
     cfg = cfg or PipelineConfig()
     out_schema = recurrence_output_schema(bars.schema, cfg)
     out_cols = [f.name for f in out_schema.fields]
@@ -210,6 +218,11 @@ def compute_recurrence_indicators(
         res = indicator_frame(pdf, cfg, ts_col=ts_col)
         return res[out_cols]
 
-    from .grouped import grouped_apply
+    from .grouped import grouped_apply, grouped_apply_chunked
 
+    if chunk_rows is not None:
+        return grouped_apply_chunked(
+            bars, by, ts_col, fn, out_schema,
+            chunk_rows=chunk_rows, warmup_rows=warmup_rows,
+        )
     return grouped_apply(bars, by, fn, out_schema)

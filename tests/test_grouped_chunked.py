@@ -1,0 +1,100 @@
+"""grouped_apply_chunked: a single huge entity processed in warm-up
+overlapped chunks must equal the unchunked whole-entity result — the
+100x-scale memory-hazard fix for the recurrence/rank stages (one entity
+larger than any sane Arrow batch no longer needs to fit in one task)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from quant_feature_pipeline_spark.config import PipelineConfig
+from quant_feature_pipeline_spark.functions.grouped import (
+    grouped_apply,
+    grouped_apply_chunked,
+)
+from quant_feature_pipeline_spark.functions.recurrence import (
+    compute_recurrence_indicators,
+)
+
+from .conftest import make_bars_pdf
+
+
+def _key(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["entity", "ts"]).reset_index(drop=True)
+
+
+def test_chunked_exact_for_finite_window_kernel(spark):
+    """A rolling window-20 kernel is EXACTLY reproduced as long as
+    warmup_rows >= window - 1 (here with plenty of margin)."""
+    from pyspark.sql import types as T
+
+    pdf = make_bars_pdf(n=2600, entities=("A", "B"))
+    df = spark.createDataFrame(pdf)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("roll20", T.DoubleType(), True)]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        c = g["close"].to_numpy()
+        out = np.full(len(c), np.nan)
+        if len(c) >= 20:
+            # window-LOCAL mean (each window summed independently):
+            # pandas' rolling().mean() streams an accumulator across the
+            # whole series, so its float result is not chunk-invariant
+            out[19:] = np.lib.stride_tricks.sliding_window_view(c, 20).mean(axis=1)
+        g["roll20"] = out
+        return g[cols]
+
+    want = _key(grouped_apply(df, "entity", fn, schema).toPandas())
+    got = _key(
+        grouped_apply_chunked(
+            df, "entity", "ts", fn, schema, chunk_rows=500, warmup_rows=100
+        ).toPandas()
+    )
+    assert len(got) == len(want) == len(pdf)
+    for c in cols:
+        if got[c].dtype.kind == "f":
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            assert np.array_equal(a, b, equal_nan=True), c
+        else:
+            assert got[c].equals(want[c]), c
+
+
+def test_chunked_recurrence_identical_on_huge_entity(spark):
+    """One entity of 16k rows (4x the 4k chunk budget) through the full
+    EMA/Wilder/MACD/ATR/SuperTrend stack: chunked == unchunked
+    bit-for-bit, because 4096 warm-up rows shrink the slowest seed error
+    (span-200 EMA, (1-alpha)^4096) below float64 ulp."""
+    pdf = make_bars_pdf(n=16_000, entities=("HUGE",))
+    df = spark.createDataFrame(pdf)
+    cfg = PipelineConfig()
+
+    want = _key(compute_recurrence_indicators(df, cfg).toPandas())
+    got = _key(
+        compute_recurrence_indicators(
+            df, cfg, chunk_rows=4_096, warmup_rows=4_096
+        ).toPandas()
+    )
+    assert len(got) == len(want) == len(pdf)
+    float_cols = [c for c in want.columns if want[c].dtype.kind == "f"]
+    for c in float_cols:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert np.array_equal(a, b, equal_nan=True), (
+            c,
+            np.nanmax(np.abs(a - b)),
+        )
+
+
+def test_chunked_rejects_warmup_larger_than_chunk(spark):
+    import pytest
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(make_bars_pdf(n=10, entities=("A",)))
+    with pytest.raises(ValueError, match="warmup_rows"):
+        grouped_apply_chunked(
+            df, "entity", "ts", lambda g: g, df.schema,
+            chunk_rows=10, warmup_rows=11,
+        )
