@@ -77,7 +77,7 @@ def _token_job(n_exec: int) -> dict:
     spark = (
         SparkSession.builder.master(f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]")
         .appName(f"bench-token-{n_exec}x{EXEC_CORES}")
-        .config("spark.sql.shuffle.partitions", str(4 * EXEC_CORES * n_exec))
+        .config("spark.sql.shuffle.partitions", str(EXEC_CORES * n_exec))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -519,27 +519,34 @@ def asof_join_multi(
         else left
     )
     id_cols = ["_mlid"] if lcols and not carry_left_payload else []
+    # Narrow union encoding: a right row sets exactly ONE matched-ts, so
+    # the union carries (src_idx, rts) — 2 columns — instead of k
+    # nullable timestamp columns (k x 8 bytes/row through the shuffle
+    # AND the sort). The k per-table fill columns only materialize in
+    # the window OUTPUT, after the sort. Left rows are _src = -1.
     l_tagged = lidded.select(
         F.col(by), F.col(on),
         *[F.col(c) for c in id_cols + carried],
-        F.lit(1).alias("_side"),
-        *[F.lit(None).cast(ts_type).alias(f"_rts_{i}") for i in range(len(prefixes))],
+        F.lit(-1).cast("int").alias("_src"),
+        F.lit(None).cast(ts_type).alias("_rts"),
     )
     parts = [l_tagged]
     for i, p in enumerate(prefixes):
         sel = [F.col(by), F.col(on)]
         sel += [F.lit(None).cast(lidded.schema[c].dataType).alias(c) for c in id_cols + carried]
-        sel += [F.lit(0).alias("_side")]
         sel += [
-            (F.col(on).cast(ts_type) if j == i else F.lit(None).cast(ts_type)).alias(f"_rts_{j}")
-            for j in range(len(prefixes))
+            F.lit(i).cast("int").alias("_src"),
+            F.col(on).cast(ts_type).alias("_rts"),
         ]
         parts.append(rights[p].select(*sel))
     u = parts[0]
     for x in parts[1:]:
         u = u.unionByName(x)
 
-    side_order = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
+    # right-before-left at equal ts iff exact matches allowed: the
+    # boolean (_src = -1) sorts false (right) before true (left) asc
+    is_left = F.col("_src") == -1
+    side_order = is_left.asc() if allow_exact_matches else is_left.desc()
     w = (
         Window.partitionBy(by)
         .orderBy(F.col(on).asc(), side_order)
@@ -548,12 +555,14 @@ def asof_join_multi(
     matched = u.select(
         F.col(by), F.col(on),
         *[F.col(c) for c in id_cols + carried],
-        F.col("_side"),
+        F.col("_src"),
         *[
-            F.last(f"_rts_{i}", ignorenulls=True).over(w).alias(f"_m_{i}")
+            F.last(F.when(F.col("_src") == i, F.col("_rts")), ignorenulls=True)
+            .over(w)
+            .alias(f"_m_{i}")
             for i in range(len(prefixes))
         ],
-    ).filter(F.col("_side") == 1).drop("_side")
+    ).filter(F.col("_src") == -1).drop("_src")
 
     if tolerance_s is not None:
         matched = matched.select(
