@@ -100,7 +100,12 @@ def run_flagship(
     mult = {tf: tf_seconds(tf) // tf_seconds(base_tf) for tf in cfg.resample_targets}
 
     # stages 1-3 of the standard pipeline, keeping each tf's close for the
-    # price group (P2 anti-projection normally drops right OHLCV)
+    # price group (P2 anti-projection normally drops right OHLCV).
+    # One up-front entity partitioning feeds the whole chain (same
+    # rationale as run_pipeline: HashPartitioning(entity) satisfies every
+    # downstream clustering requirement, so later stages add no exchange)
+    parts = int(bars.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    bars = bars.repartition(parts, by)
     tfs = resample_all(bars, cfg, by=by, ts_col=ts_col, persist=persist_stages)
     inds = {tf: indicator_table(df, cfg, by=by, ts_col=ts_col) for tf, df in tfs.items()}
     merged = merge_timeframes(
