@@ -14,6 +14,7 @@ only wires operators to the shared testdata tables
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -422,14 +423,144 @@ def q_jaccard_3gram_pairs(spark, sf_dir):
 # ----- rows-only (no ANSI-SQL oracle; validated in tests/ vs pandas oracles)
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """Oracled against an INDEPENDENT single-machine numpy/pandas
+    re-derivation of the same minhash spec (signatures -> band buckets ->
+    exact-jaccard verify) emitted as a VALUES table — the oracle checks
+    the distributed banding/join/dedup execution against a loop-free
+    reference (see _minhash_oracle_sql)."""
     docs = _t(spark, sf_dir, "documents")
     out = minhash_lsh_dup_pairs(docs, num_perm=32, bands=8, jaccard_threshold=0.5)
-    return out.select("id_a", "id_b", F.round("jaccard", R6).alias("jaccard"))
+    # shared quantizer, not round(): jaccard is a small-denominator
+    # rational that lands exactly on decimal .5 ties
+    jq6 = F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6
+    return out.select("id_a", "id_b", jq6.alias("jaccard"))
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """Oracled against a brute-force ALL-PAIRS hamming scan in numpy
+    (see _simhash_oracle_sql): with max_hamming=3 < blocks=4 the
+    pigeonhole block join is guaranteed 100% recall, so the distributed
+    output must EQUAL the quadratic reference exactly."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_dup_pairs(docs, max_hamming=3)
+
+
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _read_docs_pdf():
+    import pandas as pd
+
+    return pd.read_parquet(
+        f"{_ORACLE_SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _simhash_py(text) -> int:
+    """Per-document simhash, independently re-derived from the spec
+    (textops/dedup.py:_simhash_udf vectorizes the same math across an
+    Arrow batch): unique lowercase words -> pd.util.hash_array -> per-bit
+    majority vote."""
+    import numpy as np
+    import pandas as pd
+
+    words = (
+        np.unique(np.array(str(text).lower().split(), dtype=object))
+        if text
+        else np.array([], dtype=object)
+    )
+    if not len(words):
+        return 0
+    h = pd.util.hash_array(words).astype(np.uint64)
+    sim = 0
+    for b in range(64):
+        votes = 2 * int(((h >> np.uint64(b)) & np.uint64(1)).sum()) - len(h)
+        if votes > 0:
+            sim |= 1 << b
+    return sim - (1 << 64) if sim >= (1 << 63) else sim
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Quadratic reference: hamming of every doc pair, keep <= max_hamming.
+    Feasible because the oracle runs at sf0.01 (500 docs -> 125k pairs)."""
+    pdf = _read_docs_pdf().sort_values("doc_id")
+    ids = pdf["doc_id"].tolist()
+    sims = [_simhash_py(t) & ((1 << 64) - 1) for t in pdf["text"]]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            hd = (sims[i] ^ sims[j]).bit_count()
+            if hd <= max_hamming:
+                rows.append((ids[i], ids[j], hd))
+    vals = ",\n".join(f"({a}, {b}, {h})" for a, b, h in rows)
+    return f"""
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               CAST(hamming AS INT) AS hamming
+        FROM (VALUES
+{vals}
+        ) AS t(id_a, id_b, hamming)
+    """
+
+
+def _minhash_oracle_sql(
+    num_perm: int = 32, bands: int = 8, threshold: float = 0.5, shingle_n: int = 3
+) -> str:
+    """Single-machine re-derivation of the minhash pipeline: signatures
+    (same permutation family), band buckets on the RAW slice values (the
+    engine buckets on a 32-bit hash of the slice, so it could only emit
+    EXTRA collision candidates — which then need jaccard >= threshold to
+    survive, i.e. would be real near-dups), exact shingle jaccard."""
+    import math as _math
+    from itertools import combinations
+
+    import numpy as np
+    import pandas as pd
+
+    from quant_feature_pipeline_spark.textops.dedup import (
+        _minhash_perm_params,
+        _py_shingle_set,
+    )
+
+    pdf = _read_docs_pdf()
+    a, b = _minhash_perm_params(num_perm, 1315423911)
+    r = num_perm // bands
+    sig_by_id: dict = {}
+    shingles_by_id: dict = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        s = _py_shingle_set(text, shingle_n)
+        shingles_by_id[doc_id] = set(s)
+        if s:
+            h = pd.util.hash_array(np.array(s, dtype=object)).astype(np.uint64)
+            sig = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+        else:
+            sig = np.full(num_perm, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        sig_by_id[doc_id] = sig
+    buckets: dict = {}
+    for doc_id, sig in sig_by_id.items():
+        for bi in range(bands):
+            key = (bi, tuple(sig[bi * r : (bi + 1) * r].tolist()))
+            buckets.setdefault(key, []).append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        for x, y in combinations(sorted(ids), 2):
+            cand.add((x, y))
+    rows = []
+    for x, y in sorted(cand):
+        sa, sb = shingles_by_id[x], shingles_by_id[y]
+        u = len(sa | sb)
+        if not u:
+            continue
+        j = len(sa & sb) / u
+        if j >= threshold:
+            rows.append((x, y, _math.floor(j * 1e6 + 0.5) / 1e6))
+    vals = ",\n".join(f"({x}, {y}, {j!r})" for x, y, j in rows)
+    return f"""
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+               CAST(jaccard AS DOUBLE) AS jaccard
+        FROM (VALUES
+{vals}
+        ) AS t(id_a, id_b, jaccard)
+    """
 
 
 def q_recurrence_indicators(spark, sf_dir):
@@ -1017,6 +1148,10 @@ _AXIS_15M_SQL = """
 def oracle_sql() -> dict[str, str]:
     return {
         "media_features": _media_oracle_sql(n=128, seed=42),
+        "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
+        "minhash_lsh_pairs": _minhash_oracle_sql(
+            num_perm=32, bands=8, threshold=0.5
+        ),
         "resample_ohlcv_15m": """
             SELECT user_id,
                    time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS ts,

@@ -154,7 +154,7 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))  # executors
 SCALE_4N = SCALE_N * 4
 EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
 EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))  # median-of, interleaved
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))  # median-of, interleaved (odd -> true middle)
 CTL_REPS = 3
 
 
@@ -175,15 +175,35 @@ def _scaling() -> dict:
     shuffle/sort-bound work cannot scale the way a multi-node cluster —
     one memory bus per node — does)."""
     runs: dict[int, list[dict]] = {SCALE_N: [], SCALE_4N: []}
+    failures: list[str] = []
     env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
-    for _ in range(SCALE_REPS):
+    for rep in range(SCALE_REPS):
         for n_exec in (SCALE_N, SCALE_4N):
-            p = subprocess.run(
-                [sys.executable, __file__, "--token-worker", str(n_exec)],
-                capture_output=True, text=True, timeout=1800, env=env,
-            )
-            runs[n_exec].append(json.loads(p.stdout.strip().splitlines()[-1]))
+            # a rep can die transiently (JVM teardown overlap on the
+            # shared host); retry once and NEVER let one lost rep kill
+            # the whole bench — the driver needs the final JSON line
+            for attempt in range(2):
+                try:
+                    p = subprocess.run(
+                        [sys.executable, __file__, "--token-worker", str(n_exec)],
+                        capture_output=True, text=True, timeout=1800, env=env,
+                    )
+                    lines = p.stdout.strip().splitlines()
+                    if lines:
+                        runs[n_exec].append(json.loads(lines[-1]))
+                        break
+                    err = f"rc={p.returncode} stderr:{(p.stderr or '')[-500:]}"
+                except (subprocess.TimeoutExpired, json.JSONDecodeError) as exc:  # noqa: PERF203
+                    err = repr(exc)[:500]
+                failures.append(
+                    f"rep{rep} n_exec={n_exec} attempt{attempt}: {err}"
+                )
+                sys.stderr.write(failures[-1] + "\n")
+    if not runs[SCALE_N] or not runs[SCALE_4N]:
+        return {"error": "scaling reps failed", "failures": failures}
     res = {}
+    if failures:
+        res["rep_failures"] = failures
     for n_exec, rs in runs.items():
         med = _median_run(rs)
         secs = sorted(round(d["sec"], 2) for d in rs)
@@ -191,10 +211,20 @@ def _scaling() -> dict:
         med["sec_min"], med["sec_max"] = secs[0], secs[-1]
         med["rows_per_sec"] = med["rows"] / med["sec"]
         res[f"exec{n_exec}"] = med
-    assert len({d["checksum"] for rs in runs.values() for d in rs}) == 1, "nondeterministic output"
+    checksums = {d["checksum"] for rs in runs.values() for d in rs}
+    res["checksum_identical_across_runs"] = len(checksums) == 1
+    if len(checksums) != 1:  # record loudly, don't kill the bench
+        res["checksums_seen"] = sorted(checksums)
+        sys.stderr.write(f"NONDETERMINISTIC OUTPUT: {checksums}\n")
     t_n, t_4n = res[f"exec{SCALE_N}"]["sec"], res[f"exec{SCALE_4N}"]["sec"]
     res["efficiency_n_to_4n"] = round((t_n / t_4n) / 4.0, 4)
     res["speedup"] = round(t_n / t_4n, 3)
+    # min-of-reps efficiency: on a shared host the fastest rep is the
+    # least co-tenant-contaminated estimate of each level; reported
+    # BESIDE the median (which stays the headline), never instead of it
+    res["efficiency_n_to_4n_min"] = round(
+        (res[f"exec{SCALE_N}"]["sec_min"] / res[f"exec{SCALE_4N}"]["sec_min"]) / 4.0, 4
+    )
     res["pair"] = [SCALE_N, SCALE_4N]
     # machine ceiling control (subprocesses for JVM isolation), same
     # median-of-reps treatment
@@ -202,19 +232,26 @@ def _scaling() -> dict:
     for n_exec in (SCALE_N, SCALE_4N):
         secs = []
         for _ in range(CTL_REPS):
-            p = subprocess.run(
-                [sys.executable, __file__, "--cpu-control", str(n_exec)],
-                capture_output=True, text=True, timeout=900, env=env,
+            try:
+                p = subprocess.run(
+                    [sys.executable, __file__, "--cpu-control", str(n_exec)],
+                    capture_output=True, text=True, timeout=900, env=env,
+                )
+                lines = p.stdout.strip().splitlines()
+                if lines:
+                    secs.append(float(lines[-1]))
+            except (subprocess.TimeoutExpired, ValueError):  # noqa: PERF203
+                pass
+        if secs:
+            ctl[n_exec] = sorted(secs)[len(secs) // 2]
+    if len(ctl) == 2:
+        res["cpu_control_secs"] = {str(k): round(v, 2) for k, v in ctl.items()}
+        res["cpu_control_efficiency"] = round((ctl[SCALE_N] / ctl[SCALE_4N]) / 4.0, 4)
+        # efficiency relative to what the host physically offers at 4N
+        if res["cpu_control_efficiency"] > 0:
+            res["efficiency_vs_machine_ceiling"] = round(
+                res["efficiency_n_to_4n"] / res["cpu_control_efficiency"], 4
             )
-            secs.append(float(p.stdout.strip().splitlines()[-1]))
-        ctl[n_exec] = sorted(secs)[len(secs) // 2]
-    res["cpu_control_secs"] = {str(k): round(v, 2) for k, v in ctl.items()}
-    res["cpu_control_efficiency"] = round((ctl[SCALE_N] / ctl[SCALE_4N]) / 4.0, 4)
-    # efficiency relative to what the host physically offers at 4N
-    if res["cpu_control_efficiency"] > 0:
-        res["efficiency_vs_machine_ceiling"] = round(
-            res["efficiency_n_to_4n"] / res["cpu_control_efficiency"], 4
-        )
     return res
 
 
@@ -313,7 +350,18 @@ def _bench_queries(fast: bool) -> dict:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         n = df.count()
-        out[name] = {"sec": round(time.time() - t0, 3), "rows": n}
+        sec = round(time.time() - t0, 3)
+        # second run of the SAME query = steady state (plan codegen/JIT
+        # compiled, python workers warm) — the long-running-service
+        # number. Reported beside the first run, which stays the
+        # headline for round-over-round comparability.
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        out[name] = {
+            "sec": sec,
+            "warm_sec": round(time.time() - t0, 3),
+            "rows": n,
+        }
     spark.stop()
     return out
 
@@ -325,11 +373,12 @@ def _write_bench_md(payload: dict) -> None:
         "# BENCH — measured results (local mode)\n",
         f"sf dir: `{payload['sf_dir']}` · query parallelism: local[{CPUS}]\n",
         "## Headline queries (seconds)\n",
-        "| query | sec | rows |",
-        "|---|---|---|",
+        "first run includes plan codegen/JIT; warm = second run of the same query (steady state)\n",
+        "| query | sec (first) | sec (warm) | rows |",
+        "|---|---|---|---|",
     ]
     for k, v in payload["queries_detail"].items():
-        lines.append(f"| {k} | {v['sec']} | {v['rows']} |")
+        lines.append(f"| {k} | {v['sec']} | {v.get('warm_sec', '')} | {v['rows']} |")
     sk = payload.get("skew", {})
     if sk:
         lines += [
@@ -345,7 +394,7 @@ def _write_bench_md(payload: dict) -> None:
             f"- input: {tp['rows']:,} token rows ({TOKEN_ENTITIES} entities × {TOKEN_MINUTES:,} minutes)",
             f"- {tp['executors']} executor(s) x {tp['cores_per_exec']} cores: {tp['sec']:.1f}s → **{tp['rows_per_sec']:,.0f} sequences/sec**",
         ]
-    if sc:
+    if sc and "pair" in sc:
         n_lo, n_hi = sc["pair"]
         lo, hi = sc[f"exec{n_lo}"], sc[f"exec{n_hi}"]
         lines += [
@@ -355,7 +404,7 @@ def _write_bench_md(payload: dict) -> None:
             "|---|---|---|---|",
             f"| {n_lo} x {EXEC_CORES} | {lo['sec']:.1f} | {lo.get('all_secs')} | {lo['rows_per_sec']:,.0f} |",
             f"| {n_hi} x {EXEC_CORES} | {hi['sec']:.1f} | {hi.get('all_secs')} | {hi['rows_per_sec']:,.0f} |",
-            f"\n- speedup N→4N executors: **{sc['speedup']}×**; efficiency (speedup/4): **{sc['efficiency_n_to_4n']}** (target ≥ 0.8)",
+            f"\n- speedup N→4N executors: **{sc['speedup']}×**; efficiency (speedup/4): **{sc['efficiency_n_to_4n']}** (target ≥ 0.8); min-of-reps efficiency {sc.get('efficiency_n_to_4n_min')} (least co-tenant-contaminated rep per level)",
             f"- pure-CPU control on the same box (hash chain, no shuffle, median of {CTL_REPS}): efficiency **{sc.get('cpu_control_efficiency')}** ({sc.get('cpu_control_secs')}) — the VM's own parallel ceiling",
             f"- **efficiency relative to the machine ceiling: {sc.get('efficiency_vs_machine_ceiling')}**",
             "- this sandbox is a single shared-memory microVM: every executor shares ONE memory bus, so the",
@@ -386,15 +435,28 @@ def main() -> None:
         "queries_detail": queries_detail,
     }
     if not fast:
-        payload["skew"] = _skew_bench()
-        scaling = _scaling()
-        payload["scaling"] = {
-            k: v for k, v in scaling.items()
-        }
-        payload["token_pipeline"] = scaling[f"exec{SCALE_4N}"]
-        payload["token_sequences_per_sec"] = round(scaling[f"exec{SCALE_4N}"]["rows_per_sec"], 1)
+        # every phase is fenced: a crashed phase records its error but
+        # the bench ALWAYS prints the final JSON line for the driver
+        try:
+            payload["skew"] = _skew_bench()
+        except Exception as exc:  # noqa: BLE001
+            payload["skew"] = {"error": repr(exc)[:500]}
+        try:
+            scaling = _scaling()
+        except Exception as exc:  # noqa: BLE001
+            scaling = {"error": repr(exc)[:500]}
+        payload["scaling"] = dict(scaling)
+        if f"exec{SCALE_4N}" in scaling:
+            payload["token_pipeline"] = scaling[f"exec{SCALE_4N}"]
+            payload["token_sequences_per_sec"] = round(
+                scaling[f"exec{SCALE_4N}"]["rows_per_sec"], 1
+            )
     payload["queries"] = {k: v["sec"] for k, v in queries_detail.items()}
     payload["value"] = round(sum(v["sec"] for v in queries_detail.values()), 3)
+    payload["queries_warm"] = {k: v.get("warm_sec") for k, v in queries_detail.items()}
+    payload["value_warm"] = round(
+        sum(v.get("warm_sec", 0.0) for v in queries_detail.values()), 3
+    )
     if not fast:  # --fast is a smoke run; don't clobber the full BENCH.md
         _write_bench_md(payload)
     print(json.dumps(payload))

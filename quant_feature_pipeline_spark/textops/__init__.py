@@ -15,6 +15,8 @@ from .similarity import (
     cosine_topk_bruteforce,
     lsh_bucket_candidates,
     embedding_near_dup_pairs,
+    ivf_topk,
+    ivf_train,
 )
 
 __all__ = [
@@ -30,4 +32,6 @@ __all__ = [
     "cosine_topk_bruteforce",
     "lsh_bucket_candidates",
     "embedding_near_dup_pairs",
+    "ivf_topk",
+    "ivf_train",
 ]

@@ -125,6 +125,60 @@ def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
     return rng.randn(n_cells, dim).astype(float).tolist()
 
 
+def ivf_train(
+    df: DataFrame,
+    n_cells: int,
+    dim: int,
+    iters: int = 3,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd refinement of the IVF coarse quantizer.
+
+    Each iteration is (1) a MAP-ONLY assignment — the candidate scores
+    are an inline literal-centroid array expression, argmin JVM-side, no
+    crossJoin and no window — and (2) one aggregation: posexplode the
+    vectors and average per (cell, dimension). Only n_cells rows ever
+    reach the driver, per iteration. Empty cells keep their previous
+    centroid. At 100 TB you train on a SAMPLE (df.sample) — the k-means
+    objective needs representative data, not all of it — and persist the
+    returned literals; the ivf_topk assignment/probe plumbing is
+    identical for seeded and trained centroids.
+    """
+    cents = ivf_centroids(dim, n_cells, seed)
+    vecs = df.select(_dbl(F.col(vec_col)).alias("_v")).persist()
+    try:
+        for _ in range(iters):
+            scores = F.array(
+                *[
+                    F.lit(float(np.dot(c, c)))
+                    - 2.0 * _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in c]))
+                    for c in cents
+                ]
+            )
+            cell = F.array_position(scores, F.array_min(scores)) - 1
+            exploded = vecs.select(
+                cell.alias("_cell"), F.posexplode(F.col("_v")).alias("_pos", "_x")
+            )
+            rows = (
+                exploded.groupBy("_cell", "_pos")
+                .agg(F.avg("_x").alias("_m"))
+                .groupBy("_cell")
+                .agg(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("_pos", "_m"))),
+                        lambda s: s["_m"],
+                    ).alias("_centroid")
+                )
+                .collect()
+            )
+            new = {int(r["_cell"]): [float(x) for x in r["_centroid"]] for r in rows}
+            cents = [new.get(i, cents[i]) for i in range(n_cells)]
+    finally:
+        vecs.unpersist()
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -136,6 +190,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k cosine — the scale path beside the
     brute-force baseline.
@@ -147,10 +202,14 @@ def ivf_topk(
     a broadcast literal dim table, so the corpus never shuffles except
     for the final per-query top-k — at 100 TB the cell assignment is a
     map-only pass and candidates per query are |corpus|·nprobe/n_cells.
+
+    ``centroids`` plugs in a trained quantizer (ivf_train); default is
+    the seeded reproducible one.
     """
     if dim is None:
         raise ValueError("ivf_topk requires dim= (embedding length)")
-    cents = ivf_centroids(dim, n_cells, seed)
+    cents = centroids if centroids is not None else ivf_centroids(dim, n_cells, seed)
+    n_cells = len(cents)
     spark = corpus.sparkSession
     cent_rows = [
         (i, float(np.dot(c, c)), [float(x) for x in c]) for i, c in enumerate(cents)

@@ -168,3 +168,43 @@ def test_ivf_topk_self_hit_and_cosine_parity(spark):
     m = got.merge(brute, on=["query_id", "vec_id"], suffixes=("_ivf", "_bf"))
     assert len(m) == len(got)
     np.testing.assert_allclose(m["cosine_ivf"], m["cosine_bf"], rtol=1e-9)
+
+
+def test_ivf_train_matches_numpy_lloyd(spark):
+    """Distributed Lloyd == single-machine numpy Lloyd from the same
+    seeded init (allclose; float summation order differs), and the
+    trained quantizer plugs into ivf_topk with exact cosine parity."""
+    from quant_feature_pipeline_spark.textops.similarity import (
+        ivf_centroids,
+        ivf_topk,
+        ivf_train,
+    )
+
+    rng = np.random.RandomState(3)
+    # 3 well-separated planted clusters in 8-d
+    centers = rng.randn(3, 8) * 0.1 + np.array([[0] * 8, [5] * 8, [-5] * 8])
+    pts = np.concatenate([c + 0.05 * rng.randn(40, 8) for c in centers])
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(pts)), "embedding": [list(map(float, p)) for p in pts]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    got = np.array(ivf_train(df, n_cells=3, dim=8, iters=3, seed=7))
+
+    # numpy Lloyd, same init / same iteration count
+    cents = np.array(ivf_centroids(8, 3, seed=7))
+    for _ in range(3):
+        d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for i in range(3):
+            if (assign == i).any():
+                cents[i] = pts[assign == i].mean(axis=0)
+    np.testing.assert_allclose(got, cents, rtol=1e-9, atol=1e-12)
+
+    # trained centroids drive ivf_topk: self-hit + exact cosine parity
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(df, q, k=3, nprobe=1, dim=8, centroids=got.tolist()).toPandas()
+    for qid in range(3):
+        assert qid in set(out[out.query_id == qid]["vec_id"])
