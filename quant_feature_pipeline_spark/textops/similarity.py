@@ -224,13 +224,33 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col), _dbl(F.col(vec_col)).alias("_cv"), _norm(_dbl(F.col(vec_col))).alias("_cn")
     )
-    w_assign = Window.partitionBy(id_col).orderBy(F.col("_score").asc(), F.col("cell_id").asc())
-    corpus_cells = (
-        c.crossJoin(F.broadcast(cent_df))
-        .withColumn("_score", score(F.col("_cv")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cell_id", "_cv", "_cn")
+    # corpus cell assignment is a MAP-ONLY vectorized Arrow stage — the
+    # previous crossJoin(broadcast) + row_number form blew the corpus up
+    # n_cells x and then SHUFFLED it for the per-vec_id window, exactly
+    # the exchange this design promises to avoid. The dot product
+    # accumulates sequentially over dimensions (acc += v_d * c_d), the
+    # same fold order as the JVM `aggregate` expression and DuckDB's
+    # list_dot_product, so scores (and near-tie argmins) stay
+    # bit-identical across all three engines; ties pick the lowest
+    # cell_id (np.argmin first-min == the window's cell_id tiebreak).
+    cents_np = np.array(cents, dtype=np.float64)
+    c2_np = np.array([float(np.dot(cc, cc)) for cc in cents], dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _assign(vecs):
+        import pandas as pd
+
+        if not len(vecs):
+            return pd.Series(np.empty(0, dtype=np.int32))
+        v = np.stack(vecs.to_numpy())
+        dots = np.zeros((len(v), len(cents_np)), dtype=np.float64)
+        for d in range(cents_np.shape[1]):
+            dots += v[:, [d]] * cents_np[None, :, d]
+        scores = c2_np[None, :] - 2.0 * dots
+        return pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+    corpus_cells = c.select(
+        id_col, _assign(F.col("_cv")).alias("cell_id"), "_cv", "_cn"
     )
     q = queries.select(
         F.col(query_id_col), _dbl(F.col(vec_col)).alias("_qv"), _norm(_dbl(F.col(vec_col))).alias("_qn")
