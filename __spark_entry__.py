@@ -768,12 +768,48 @@ def q_cube_agg(spark, sf_dir):
     )
 
 
-def q_distinct_agg(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
+def q_streaming_asof_15m(spark, sf_dir):
+    """STR — streaming point-in-time enrich, a REAL streaming execution:
+    raw events stream as-of joined (backward, applyInPandasWithState
+    carrying the latest right row) against a stream of CLOSED 15m bars
+    (end-labeled, so every matched bar is fully closed before the event
+    — leakage-free). On bounded in-order input the result equals the
+    batch as-of join, so the oracle is DuckDB's ASOF JOIN."""
+    import uuid
+
+    from quant_feature_pipeline_spark.streaming.micro import (
+        run_stream_to_table,
+        stream_bars_from_dir,
     )
+    from quant_feature_pipeline_spark.streaming.stateful import (
+        streaming_asof_backward,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    left = stream_bars_from_dir(
+        spark, f"{sf_dir}/events*.parquet", schema=schema
+    ).select("user_id", "ts", "event_id", "value")
+
+    # right side: closed 15m bars, precomputed in batch and replayed as
+    # a stream (a second file source)
+    bars = resample_ohlcv(_ticks(spark, sf_dir), "15m", by="user_id").select(
+        "user_id", "ts", F.col("close").alias("rclose")
+    )
+    rdir = f"/tmp/stream_asof_right_{uuid.uuid4().hex[:8]}"
+    bars.write.mode("overwrite").parquet(rdir)
+    right = stream_bars_from_dir(spark, rdir, schema=spark.read.parquet(rdir).schema)
+
+    out = streaming_asof_backward(
+        left, right, on="ts", by="user_id", right_prefix="r15_"
+    )
+    name = f"stream_asof_{uuid.uuid4().hex[:8]}"
+    try:
+        run_stream_to_table(out, name, output_mode="append")
+    finally:
+        import shutil
+
+        shutil.rmtree(rdir, ignore_errors=True)
+    return spark.table(name)
 
 
 def q_token_passthrough(spark, sf_dir):
@@ -949,7 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3like": q_tpch_q3like,
         "tpch_q5like": q_tpch_q5like,
         "cube_agg": q_cube_agg,
-        "distinct_agg": q_distinct_agg,
+        "streaming_asof_15m": q_streaming_asof_15m,
         "token_passthrough": q_token_passthrough,
     }
 
@@ -1616,9 +1652,17 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
-        "distinct_agg": """
-            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-            FROM events GROUP BY 1
+        "streaming_asof_15m": """
+            WITH bars AS (
+              SELECT user_id,
+                     time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS ts,
+                     arg_max(value, ts) AS rclose
+              FROM events GROUP BY 1, 2
+            )
+            SELECT e.user_id, e.ts, e.event_id, e.value,
+                   b.rclose AS r15_rclose, b.ts AS r15_matched_ts
+            FROM events e ASOF LEFT JOIN bars b
+              ON e.user_id = b.user_id AND e.ts >= b.ts
         """,
         "recurrence_indicators": _recurrence_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),

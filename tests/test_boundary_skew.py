@@ -159,3 +159,91 @@ def test_streaming_stateful_ema_matches_batch(spark, tmp_path):
         np.testing.assert_allclose(
             got[got.entity == e]["ema_fast"].to_numpy(), want_fast, rtol=1e-9,
         )
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """Streaming point-in-time enrich == batch backward as-of join on
+    in-order bounded input, with state carrying the latest right row
+    across micro-batches (each side split into ts-aligned files,
+    maxFilesPerTrigger=1)."""
+    import pandas as pd
+
+    from quant_feature_pipeline_spark.operators.asof import asof_join
+    from quant_feature_pipeline_spark.streaming.stateful import (
+        streaming_asof_backward,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 200
+    t0 = pd.Timestamp("2024-01-01")
+    lpdf = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "entity": e,
+                    "ts": t0 + pd.to_timedelta(np.sort(rng.choice(36000, n, False)), unit="s"),
+                    "lval": rng.randn(n),
+                }
+            )
+            for e in ("A", "B")
+        ],
+        ignore_index=True,
+    )
+    rpdf = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "entity": e,
+                    "ts": t0 + pd.to_timedelta(np.arange(0, 40) * 900, unit="s"),
+                    "rval": rng.randn(40),
+                }
+            )
+            for e in ("A", "B")
+        ],
+        ignore_index=True,
+    )
+    split = t0 + pd.Timedelta(hours=5)
+    src = str(tmp_path / "asof_src")
+    for name, pdf in (("left", lpdf), ("right", rpdf)):
+        pdf = pdf.sort_values(["ts", "entity"]).reset_index(drop=True)
+        for part, piece in (("a", pdf[pdf.ts < split]), ("b", pdf[pdf.ts >= split])):
+            spark.createDataFrame(piece).coalesce(1).write.mode("overwrite").parquet(
+                f"{src}/{name}/{part}"
+            )
+
+    def _stream(name):
+        return (
+            spark.readStream.schema(spark.read.parquet(f"{src}/{name}/a").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/{name}/*")
+        )
+
+    out = streaming_asof_backward(_stream("left"), _stream("right"), right_prefix="r_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = (
+        spark.sql("SELECT * FROM asof_stream")
+        .toPandas()
+        .sort_values(["entity", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    want = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            right_prefix="r_",
+        )
+        .toPandas()
+        .sort_values(["entity", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(lpdf)
+    np.testing.assert_allclose(got["r_rval"].to_numpy(), want["r_rval"].to_numpy(), rtol=0, atol=0)
+    assert got["r_matched_ts"].equals(want["r_matched_ts"])
