@@ -849,6 +849,7 @@ def q_media_features(spark, sf_dir):
         attach_media_metadata,
         decode_image_features,
         frame_sample_plan,
+        resize_plan,
         synth_media_table,
     )
 
@@ -860,6 +861,9 @@ def q_media_features(spark, sf_dir):
     frames = frame_sample_plan(media, every_ms=60000).groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames")
     )
+    resized = resize_plan(media, 256, 256).select(
+        "media_id", "resized_w", "resized_h", "resized_sha1"
+    )
 
     # shared quantizer (not round(): engines break decimal .5 ties
     # differently, and feat_mean = k/128 lands exactly on such ties)
@@ -869,11 +873,13 @@ def q_media_features(spark, sf_dir):
     return (
         meta.join(feats, "media_id", "left")
         .join(frames, "media_id", "left")
+        .join(resized, "media_id", "left")
         .select(
             "media_id", "kind", "payload_bytes", "payload_sha1",
             mq6("feat_mean"),
             mq6("feat_entropyish"),
             F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
+            "resized_w", "resized_h", "resized_sha1",
         )
     )
 
@@ -891,6 +897,7 @@ def _media_expected_rows(n: int = 128, seed: int = 42) -> list[tuple]:
 
     rows = []
     kinds = ["image", "audio", "video"]
+    tw = th = 256  # resize_plan target in q_media_features
     for i in range(n):
         payload = hashlib.sha512(f"{seed}{i}".encode()).hexdigest().encode()
         arr = _np.frombuffer(payload, dtype=_np.uint8).astype(_np.float64)
@@ -901,11 +908,22 @@ def _media_expected_rows(n: int = 128, seed: int = 42) -> list[tuple]:
         kind = kinds[i % 3]
         duration_ms = (i * 7919) % 600000
         n_frames = min(duration_ms // 60000 + 1, 32) if kind == "video" else 0
+        w, h = (i * 37) % 1920 + 1, (i * 53) % 1080 + 1
+        if kind == "image":
+            rdiv = lambda num, den: (num + den // 2) // den  # noqa: E731
+            if w * th >= h * tw:
+                rw, rh = tw, max(1, rdiv(h * tw, w))
+            else:
+                rw, rh = max(1, rdiv(w * th, h)), th
+            rsha = hashlib.sha1(payload + f"{rw}x{rh}".encode()).hexdigest()
+        else:
+            rw, rh, rsha = 0, 0, ""
         rows.append(
             (
                 f"m{i}", kind, len(payload),
                 hashlib.sha1(payload).hexdigest(),
                 q6(float(arr.mean())), q6(ent), n_frames,
+                rw, rh, rsha,
             )
         )
     return rows
@@ -913,17 +931,21 @@ def _media_expected_rows(n: int = 128, seed: int = 42) -> list[tuple]:
 
 def _media_oracle_sql(n: int = 128, seed: int = 42) -> str:
     vals = ",\n".join(
-        f"('{mid}', '{kind}', {pb}, '{sha}', {mean!r}, {ent!r}, {nf})"
-        for mid, kind, pb, sha, mean, ent, nf in _media_expected_rows(n, seed)
+        f"('{mid}', '{kind}', {pb}, '{sha}', {mean!r}, {ent!r}, {nf}, {rw}, {rh}, '{rsha}')"
+        for mid, kind, pb, sha, mean, ent, nf, rw, rh, rsha in _media_expected_rows(n, seed)
     )
     return f"""
         SELECT media_id, kind, CAST(payload_bytes AS INT) AS payload_bytes,
                payload_sha1, CAST(feat_mean AS DOUBLE) AS feat_mean,
                CAST(feat_entropyish AS DOUBLE) AS feat_entropyish,
-               CAST(n_frames AS BIGINT) AS n_frames
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(resized_w AS INT) AS resized_w,
+               CAST(resized_h AS INT) AS resized_h,
+               resized_sha1
         FROM (VALUES
 {vals}
-        ) AS t(media_id, kind, payload_bytes, payload_sha1, feat_mean, feat_entropyish, n_frames)
+        ) AS t(media_id, kind, payload_bytes, payload_sha1, feat_mean, feat_entropyish,
+               n_frames, resized_w, resized_h, resized_sha1)
     """
 
 

@@ -2,6 +2,7 @@ from .binaryops import (
     attach_media_metadata,
     decode_image_features,
     frame_sample_plan,
+    resize_plan,
     synth_media_table,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "attach_media_metadata",
     "decode_image_features",
     "frame_sample_plan",
+    "resize_plan",
     "synth_media_table",
 ]

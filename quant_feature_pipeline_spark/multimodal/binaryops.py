@@ -114,6 +114,51 @@ def decode_image_features(df: DataFrame, real: bool = False) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(extract, schema=_FEAT_SCHEMA)
 
 
+def resize_plan(
+    df: DataFrame, target_w: int, target_h: int, real: bool = False
+) -> DataFrame:
+    """Aspect-preserving image-resize *plan* (JVM-side, map-only).
+
+    Computes each image's output dimensions with integer-rational
+    arithmetic — width-limited iff ``w·target_h >= h·target_w``, the
+    other side scaled with a rounded integer division — and a
+    deterministic fingerprint of the (payload, dims) pair standing in
+    for the resized bytes. Pure-integer math keeps the plan reproducible
+    outside Spark (the media oracle re-derives it with hashlib + // in
+    Python). The actual pixel resample is the stub boundary: plug
+    PIL/libvips into a mapInPandas over (payload, resized_w, resized_h)
+    on a real cluster; ``real=True`` raises at the integration point.
+
+    Non-image rows get resized dims 0 and an empty fingerprint (typed,
+    non-null — hash-stable across engines).
+    """
+    if real:
+        raise NotImplementedError(
+            "pixel resize requires PIL/libvips, not present in this container; "
+            "map a decode+resize mapInPandas over (payload, resized_w, resized_h)"
+        )
+    w, h = F.col("width"), F.col("height")
+    width_limited = (w * target_h) >= (h * target_w)
+    rdiv = lambda num, den: F.floor((num + F.floor(den / 2)) / den).cast("int")  # noqa: E731
+    out_w = F.when(width_limited, F.lit(target_w)).otherwise(
+        F.greatest(F.lit(1), rdiv(w * target_h, h))
+    )
+    out_h = F.when(width_limited, F.greatest(F.lit(1), rdiv(h * target_w, w))).otherwise(
+        F.lit(target_h)
+    )
+    is_img = F.col("kind") == "image"
+    dims = F.concat(out_w.cast("string"), F.lit("x"), out_h.cast("string"))
+    return df.withColumns(
+        {
+            "resized_w": F.when(is_img, out_w).otherwise(F.lit(0)).cast("int"),
+            "resized_h": F.when(is_img, out_h).otherwise(F.lit(0)).cast("int"),
+            "resized_sha1": F.when(
+                is_img, F.sha1(F.concat(F.col("payload"), F.encode(dims, "UTF-8")))
+            ).otherwise(F.lit("")),
+        }
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000, max_frames: int = 32
 ) -> DataFrame:
