@@ -184,7 +184,12 @@ def asof_join_sorted_merge(
     **_: object,
 ) -> DataFrame:
     """Cogrouped applyInPandas `pd.merge_asof` per entity — vectorized,
-    exactly the reference's pandas semantics, Arrow-batched."""
+    exactly the reference's pandas semantics, Arrow-batched.
+
+    Memory boundary: cogroup buffers one whole entity (both sides) per
+    task. Best when entity cardinality >> cores and histories fit in
+    task memory; for few/huge entities use ``asof_join_bucketed``, which
+    range-partitions inside an entity."""
     import pandas as pd
 
     from pyspark.sql import types as T

@@ -104,7 +104,7 @@ def _rec_cte(tf: str, cfg: PipelineConfig) -> str:
                  1.0::DOUBLE AS dir, CAST(NULL AS DOUBLE) AS rsi_r,
                  0 AS ob_run, 0 AS os_run,
                  close AS s_c, close * close AS q_c,
-                 0.0::DOUBLE AS s_lr, 0.0::DOUBLE AS q_lr
+                 0.0::DOUBLE AS s_lr, 0.0::DOUBLE AS q_lr, 0 AS c_lr
           FROM rb_{tf} WHERE rn = 1
           UNION ALL
           SELECT entity, ts, rn, close AS pc, close, ag, al, atr, st_atr,
@@ -113,7 +113,7 @@ def _rec_cte(tf: str, cfg: PipelineConfig) -> str:
                       THEN CASE WHEN close < f_dn THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END
                       ELSE CASE WHEN close > f_up THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END
                  END AS dir,
-                 rsi_r, ob_run, os_run, s_c, q_c, s_lr, q_lr
+                 rsi_r, ob_run, os_run, s_c, q_c, s_lr, q_lr, c_lr
           FROM (
             SELECT *,
                    CASE WHEN up < p_f_up OR pc > p_f_up THEN up ELSE p_f_up END AS f_up,
@@ -136,7 +136,8 @@ def _rec_cte(tf: str, cfg: PipelineConfig) -> str:
                        p_s_c + close AS s_c,
                        p_q_c + close * close AS q_c,
                        p_s_lr + CASE WHEN lr IS NOT NULL THEN lr ELSE 0.0 END AS s_lr,
-                       p_q_lr + CASE WHEN lr IS NOT NULL THEN lr * lr ELSE 0.0 END AS q_lr
+                       p_q_lr + CASE WHEN lr IS NOT NULL THEN lr * lr ELSE 0.0 END AS q_lr,
+                       p_c_lr + CASE WHEN lr IS NOT NULL THEN 1 ELSE 0 END AS c_lr
                 FROM (
                   SELECT *,
                          greatest(high - low, abs(high - pc), abs(low - pc)) AS tr,
@@ -150,7 +151,8 @@ def _rec_cte(tf: str, cfg: PipelineConfig) -> str:
                            r.f_dn AS p_f_dn, r.dir AS p_dir,
                            r.ob_run AS p_ob_run, r.os_run AS p_os_run,
                            r.s_c AS p_s_c, r.q_c AS p_q_c,
-                           r.s_lr AS p_s_lr, r.q_lr AS p_q_lr
+                           r.s_lr AS p_s_lr, r.q_lr AS p_q_lr,
+                           r.c_lr AS p_c_lr
                     FROM rec_{tf} r JOIN rb_{tf} b
                       ON b.entity = r.entity AND b.rn = r.rn + 1
                   )
@@ -175,6 +177,7 @@ def _ind_ctes(tf: str, cfg: PipelineConfig) -> str:
                  lag(q_c, {n_bb}) OVER wi_{tf} AS q_c_l,
                  lag(s_lr, {n_rv}) OVER wi_{tf} AS s_lr_l,
                  lag(q_lr, {n_rv}) OVER wi_{tf} AS q_lr_l,
+                 lag(c_lr, {n_rv}) OVER wi_{tf} AS c_lr_l,
                  lag(close, {n_mom}) OVER wi_{tf} AS close_lm
           FROM rec_{tf}
           WINDOW wi_{tf} AS (PARTITION BY entity ORDER BY rn)
@@ -186,7 +189,11 @@ def _ind_ctes(tf: str, cfg: PipelineConfig) -> str:
                  CAST(least(rn, {n_bb}) AS DOUBLE) AS cnt_c,
                  s_lr - coalesce(s_lr_l, 0.0) AS slr_win,
                  q_lr - coalesce(q_lr_l, 0.0) AS qlr_win,
-                 CAST(least(rn - 1, {n_rv}) AS DOUBLE) AS cnt_lr
+                 -- count NON-NULL log returns in the window: a close <= 0
+                 -- nulls two consecutive returns, so least(rn-1, n) would
+                 -- over-count exactly where the data is degenerate (caught
+                 -- by the sf0.1 scale-up gate; sf0.01 has no such rows)
+                 CAST(c_lr - coalesce(c_lr_l, 0) AS DOUBLE) AS cnt_lr
           FROM w_{tf}
         ),
         ind_{tf} AS (

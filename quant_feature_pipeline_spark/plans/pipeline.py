@@ -206,6 +206,11 @@ def run_pipeline(
     the hierarchical rollup chains through them — without persistence
     Catalyst recomputes the whole upstream per consumer. On a cluster
     these are the per-stage checkpoint tables (plans/checkpoint.py).
+    The CALLER owns the cache lifecycle: the cached tables back the
+    returned (lazy) DataFrame, so they cannot be released here; a
+    long-lived session that builds many pipelines should
+    ``spark.catalog.clearCache()`` between them or pass
+    ``persist_stages=False``.
 
     The base is hash-partitioned on ``by`` ONCE up front (to
     spark.sql.shuffle.partitions so SQL-shuffle consumers are
