@@ -27,24 +27,67 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
+class StageMetrics:
+    """Per-partition row-count / latency metrics for grouped Arrow
+    stages, backed by Spark accumulators (executors add, the driver
+    reads after an action) — the per-partition lineage + latency surface
+    the incremental-run contract asks for, alongside the per-entity
+    row/max-ts lineage in plans/checkpoint.py."""
+
+    def __init__(self, spark, name: str):
+        sc = spark.sparkContext
+        self.name = name
+        self.rows = sc.accumulator(0)
+        self.groups = sc.accumulator(0)
+        self.partitions = sc.accumulator(0)
+        self.busy_s = sc.accumulator(0.0)
+
+    def report(self) -> dict:
+        """Read AFTER an action has materialized the stage."""
+        parts = self.partitions.value or 1
+        return {
+            "stage": self.name,
+            "rows": self.rows.value,
+            "groups": self.groups.value,
+            "partitions": self.partitions.value,
+            "busy_wall_s": round(self.busy_s.value, 3),
+            "rows_per_partition": self.rows.value // parts,
+        }
+
+
 def grouped_apply(
     df: DataFrame,
     by: str,
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     schema: T.StructType,
     num_partitions: int | None = None,
+    metrics: StageMetrics | None = None,
 ) -> DataFrame:
     cols = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+
+        t0 = time.time()
         chunks = list(batches)
         if not chunks:
+            if metrics is not None:
+                metrics.partitions.add(1)
             return
         pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
+            if metrics is not None:
+                metrics.partitions.add(1)
             return
+        n_groups = 0
         for _, g in pdf.groupby(by, sort=False):
+            n_groups += 1
             yield fn(g)[cols]
+        if metrics is not None:
+            metrics.partitions.add(1)
+            metrics.rows.add(int(len(pdf)))
+            metrics.groups.add(n_groups)
+            metrics.busy_s.add(time.time() - t0)
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(parts, by).mapInPandas(run, schema=schema)

@@ -197,6 +197,7 @@ def compute_recurrence_indicators(
     ts_col: str = "ts",
     chunk_rows: int | None = None,
     warmup_rows: int = 4_096,
+    metrics=None,
 ) -> DataFrame:
     """Runs as grouped_apply (explicit hash repartition + mapInPandas),
     NOT groupBy().applyInPandas: FlatMapGroupsInPandas reports unknown
@@ -225,4 +226,4 @@ def compute_recurrence_indicators(
             bars, by, ts_col, fn, out_schema,
             chunk_rows=chunk_rows, warmup_rows=warmup_rows,
         )
-    return grouped_apply(bars, by, fn, out_schema)
+    return grouped_apply(bars, by, fn, out_schema, metrics=metrics)

@@ -98,3 +98,22 @@ def test_chunked_rejects_warmup_larger_than_chunk(spark):
             df, "entity", "ts", lambda g: g, df.schema,
             chunk_rows=10, warmup_rows=11,
         )
+
+
+def test_stage_metrics_accumulators(spark):
+    """StageMetrics: per-partition rows/groups/latency accumulate on the
+    executors and read back after the action (north-rule per-partition
+    lineage + latency surface)."""
+    from quant_feature_pipeline_spark.functions.grouped import StageMetrics
+
+    pdf = make_bars_pdf(n=500, entities=("A", "B", "C"))
+    df = spark.createDataFrame(pdf)
+    m = StageMetrics(spark, "recurrence")
+    out = compute_recurrence_indicators(df, PipelineConfig(), metrics=m)
+    n = out.count()
+    rep = m.report()
+    assert n == len(pdf)
+    assert rep["rows"] == len(pdf)
+    assert rep["groups"] == 3
+    assert rep["partitions"] >= 1
+    assert rep["busy_wall_s"] > 0
