@@ -255,6 +255,81 @@ def _scaling() -> dict:
     return res
 
 
+def _chunk_bench() -> dict:
+    """Huge-entity recurrence: ONE entity with millions of bars.
+
+    Whole-entity grouping puts the full history in one pandas task (a
+    straggler AND the memory hazard); grouped_apply_chunked splits it
+    into warm-up-overlapped chunks that run in parallel. Identical
+    outputs asserted via checksum over the quantized indicator columns
+    (warm-up 8192 rows drives every recurrence seed below float64 ulp;
+    equality is bit-level, see tests/test_grouped_chunked.py)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from quant_feature_pipeline_spark.config import PipelineConfig
+    from quant_feature_pipeline_spark.functions.recurrence import (
+        compute_recurrence_indicators,
+    )
+    from quant_feature_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-chunk", cpus=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    t0 = 1704067200
+    n = 2_560_000
+    bars = spark.range(n).select(
+        F.lit("HUGE").alias("entity"),
+        F.timestamp_seconds(t0 + F.col("id") * 60).alias("ts"),
+        (100.0 + F.pmod(F.col("id"), 997).cast("double") / 10.0).alias("close"),
+    )
+    bars = bars.withColumns(
+        {
+            "open": F.col("close"),
+            "high": F.col("close") * 1.001,
+            "low": F.col("close") * 0.999,
+            "volume": F.lit(1.0),
+        }
+    )
+    path = "/tmp/chunk_bars"
+    bars.write.mode("overwrite").parquet(path)
+    bars = spark.read.parquet(path)
+    bars.count()
+    cfg = PipelineConfig()
+
+    def checksum(df):
+        cols = ["ema_20", "rsi14", "macd", "atr14", "supertrend_direction"]
+        qs = [
+            F.sum(
+                F.pmod(
+                    F.xxhash64((F.floor(F.coalesce(F.col(c), F.lit(0.0)) * 1e6 + 0.5)).cast("long")),
+                    F.lit(1_000_000_007),
+                )
+            ).alias(c)
+            for c in cols
+        ]
+        r = df.agg(*qs).first()
+        return tuple(int(r[c]) for c in cols)
+
+    res = {"rows": n, "entities": 1}
+    outs = {}
+    for label, kw in (
+        ("whole_entity", {}),
+        ("chunked", {"chunk_rows": 262_144, "warmup_rows": 8_192}),
+    ):
+        out = compute_recurrence_indicators(bars, cfg, **kw)
+        t = time.time()
+        outs[label] = checksum(out)
+        res[f"{label}_sec"] = round(time.time() - t, 2)
+    res["checksum_equal"] = outs["whole_entity"] == outs["chunked"]
+    res["speedup_chunked"] = round(res["whole_entity_sec"] / res["chunked_sec"], 2)
+    spark.stop()
+    shutil.rmtree(path, ignore_errors=True)
+    return res
+
+
 def _skew_bench() -> dict:
     """Skew robustness, measured: one HOT entity holds ~87% of the rows
     (20M of ~23.1M).
@@ -388,6 +463,15 @@ def _write_bench_md(payload: dict) -> None:
             f"- range-bucketed as-of (hot entity split across time buckets): **{sk['bucketed_sec']} s** → {sk['speedup_bucketed']}x",
             "- identical join results (tests/test_asof.py cross-checks all strategies); salting covers the groupBy side (salted_agg query)",
         ]
+    ck = payload.get("chunked_recurrence", {})
+    if ck and "rows" in ck:
+        lines += [
+            "\n## Huge-entity recurrence: whole-entity task vs warm-up-overlapped chunks\n",
+            f"- ONE entity, {ck['rows']:,} bars through the EMA/RSI/MACD/ATR/SuperTrend stack",
+            f"- whole-entity grouping (one pandas task, the memory hazard): **{ck['whole_entity_sec']} s**",
+            f"- grouped_apply_chunked (256k chunks, 8k warm-up, parallel): **{ck['chunked_sec']} s** → {ck['speedup_chunked']}x",
+            f"- quantized indicator checksums equal: **{ck['checksum_equal']}** (bit-level equality asserted in tests)",
+        ]
     if tp:
         lines += [
             "\n## North-rule token pipeline (as-of join + rolling indicators)\n",
@@ -441,6 +525,10 @@ def main() -> None:
             payload["skew"] = _skew_bench()
         except Exception as exc:  # noqa: BLE001
             payload["skew"] = {"error": repr(exc)[:500]}
+        try:
+            payload["chunked_recurrence"] = _chunk_bench()
+        except Exception as exc:  # noqa: BLE001
+            payload["chunked_recurrence"] = {"error": repr(exc)[:500]}
         try:
             scaling = _scaling()
         except Exception as exc:  # noqa: BLE001
