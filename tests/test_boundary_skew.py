@@ -161,11 +161,12 @@ def test_streaming_stateful_ema_matches_batch(spark, tmp_path):
         )
 
 
-def test_streaming_asof_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("tol_s", [None, 1200])
+def test_streaming_asof_matches_batch(spark, tmp_path, tol_s):
     """Streaming point-in-time enrich == batch backward as-of join on
-    in-order bounded input, with state carrying the latest right row
-    across micro-batches (each side split into ts-aligned files,
-    maxFilesPerTrigger=1)."""
+    in-order bounded input (with and without a staleness tolerance),
+    state carrying the latest right row across micro-batches (each side
+    split into ts-aligned files, maxFilesPerTrigger=1)."""
     import pandas as pd
 
     from quant_feature_pipeline_spark.operators.asof import asof_join
@@ -218,10 +219,12 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
             .parquet(f"{src}/{name}/*")
         )
 
-    out = streaming_asof_backward(_stream("left"), _stream("right"), right_prefix="r_")
+    out = streaming_asof_backward(
+        _stream("left"), _stream("right"), right_prefix="r_", tolerance_s=tol_s
+    )
     q = (
         out.writeStream.format("memory")
-        .queryName("asof_stream")
+        .queryName(f"asof_stream_{tol_s or 0}")
         .outputMode("append")
         .trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
@@ -229,7 +232,7 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
     )
     assert q.awaitTermination(180)
     got = (
-        spark.sql("SELECT * FROM asof_stream")
+        spark.sql(f"SELECT * FROM asof_stream_{tol_s or 0}")
         .toPandas()
         .sort_values(["entity", "ts", "lval"])
         .reset_index(drop=True)
@@ -239,6 +242,7 @@ def test_streaming_asof_matches_batch(spark, tmp_path):
             spark.createDataFrame(lpdf),
             spark.createDataFrame(rpdf),
             right_prefix="r_",
+            tolerance_s=tol_s,
         )
         .toPandas()
         .sort_values(["entity", "ts", "lval"])
