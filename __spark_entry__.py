@@ -796,7 +796,11 @@ def q_streaming_asof_15m(spark, sf_dir):
         "user_id", "ts", F.col("close").alias("rclose")
     )
     rdir = f"/tmp/stream_asof_right_{uuid.uuid4().hex[:8]}"
-    bars.write.mode("overwrite").parquet(rdir)
+    # ONE file on purpose: the streaming as-of's exactness contract is
+    # in-order arrival per entity ACROSS micro-batches; multiple files
+    # would replay in mtime order, not ts order (the multi-batch carry
+    # path is exercised with ts-aligned files in tests)
+    bars.coalesce(1).write.mode("overwrite").parquet(rdir)
     right = stream_bars_from_dir(spark, rdir, schema=spark.read.parquet(rdir).schema)
 
     out = streaming_asof_backward(
