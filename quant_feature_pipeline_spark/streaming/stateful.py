@@ -158,7 +158,17 @@ def streaming_asof_backward(
 
     def update(key, pdfs, state: GroupState):
         carry = state.get if state.exists else None
-        for pdf in pdfs:
+        # concat the group's WHOLE micro-batch before sorting: the
+        # iterator yields Arrow-sized chunks in arrival order, so a
+        # per-chunk sort would process chunk 1's lefts before chunk 2's
+        # earlier rights on large (multi-chunk) batches
+        chunks = [p for p in pdfs]
+        if not chunks:
+            return
+        merged = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) != 1 else chunks[0]
+        )
+        for pdf in ([merged] if len(merged) else []):
             pdf = pdf.sort_values([on, "_side"], kind="mergesort")
             rights = pdf[pdf["_side"] == 0][[on] + [f"_r_{c}" for c in vcols]]
             if carry is not None and carry[0] is not None:

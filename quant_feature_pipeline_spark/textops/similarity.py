@@ -242,7 +242,8 @@ def ivf_topk(
 
         if not len(vecs):
             return pd.Series(np.empty(0, dtype=np.int32))
-        v = np.stack(vecs.to_numpy())
+        zero = np.zeros(cents_np.shape[1])
+        v = np.stack([x if x is not None else zero for x in vecs.to_numpy()])
         dots = np.zeros((len(v), len(cents_np)), dtype=np.float64)
         for d in range(cents_np.shape[1]):
             dots += v[:, [d]] * cents_np[None, :, d]
