@@ -43,7 +43,16 @@ class StageMetrics:
         self.busy_s = sc.accumulator(0.0)
 
     def report(self) -> dict:
-        """Read AFTER an action has materialized the stage."""
+        """Read AFTER an action has materialized the stage.
+
+        Accumulator caveat (ADVICE r3): Spark guarantees exactly-once
+        accumulator updates only for updates made inside ACTIONS; these
+        are added in a transformation, so task retries, speculative
+        execution, or re-running the stage for a second action add
+        again. Treat the numbers as AT-LEAST-ONCE telemetry (latency
+        hints, skew spotting) — for exact lineage row counts use the
+        checkpoint manifest (plans/checkpoint.py), which derives counts
+        from a deterministic aggregation."""
         parts = self.partitions.value or 1
         return {
             "stage": self.name,
@@ -62,8 +71,50 @@ def grouped_apply(
     schema: T.StructType,
     num_partitions: int | None = None,
     metrics: StageMetrics | None = None,
+    ts_col: str | None = None,
+    auto_chunk_rows: int | None = 1_048_576,
+    chunk_rows: int = 262_144,
+    warmup_rows: int = 4_096,
 ) -> DataFrame:
+    """One Arrow stage over entity-hash partitions; see module docstring.
+
+    Huge-entity auto-dispatch (ADVICE r3 — previously callers had to
+    opt into chunked execution to avoid the whole-entity pandas memory
+    hazard): when ``ts_col`` is known and a group exceeds
+    ``auto_chunk_rows`` rows, the group is processed in ts-sorted
+    ``chunk_rows`` slices with ``warmup_rows`` of replayed history per
+    slice — bounding ``fn``'s working set (the wide output frame and
+    kernel temporaries, the dominant memory term) with NO plan change:
+    partitioning is preserved, nothing extra shuffles or sorts JVM-side,
+    and normal-size groups pay zero overhead. Same exactness contract as
+    grouped_apply_chunked (warm-up ≥ the slowest recurrence decay ⇒
+    bit-identical; asserted in tests). This dispatch is LOCAL — a huge
+    entity still lands in one task; when single entities dwarf task
+    memory or need cross-task parallelism, use grouped_apply_chunked,
+    which range-splits the entity across the cluster."""
     cols = [f.name for f in schema.fields]
+    local_chunking = ts_col is not None and auto_chunk_rows is not None
+
+    def run_group(g: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        if not local_chunking or len(g) <= auto_chunk_rows:
+            yield fn(g)[cols]
+            return
+        # stable ts sort here makes chunk boundaries deterministic AND
+        # is idempotent with the kernel's own stable ts sort, so the
+        # positional warm-row slice below stays row-aligned
+        g = g.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        for start in range(0, len(g), chunk_rows):
+            lo = max(0, start - warmup_rows)
+            piece = g.iloc[lo : start + chunk_rows].reset_index(drop=True)
+            out = fn(piece)
+            if len(out) != len(piece):
+                raise ValueError(
+                    "grouped_apply auto-chunking: fn must return exactly "
+                    f"one row per input row (got {len(out)} for "
+                    f"{len(piece)}); pass auto_chunk_rows=None for "
+                    "row-count-changing kernels"
+                )
+            yield out.iloc[start - lo :][cols]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time
@@ -82,7 +133,7 @@ def grouped_apply(
         n_groups = 0
         for _, g in pdf.groupby(by, sort=False):
             n_groups += 1
-            yield fn(g)[cols]
+            yield from run_group(g)
         if metrics is not None:
             metrics.partitions.add(1)
             metrics.rows.add(int(len(pdf)))
@@ -181,6 +232,15 @@ def grouped_apply_chunked(
             g = g.sort_values("_rn", kind="mergesort")
             n_warm = int(g["_warm"].sum())
             out = fn(g.drop(columns=helper).reset_index(drop=True))
+            if len(out) != len(g):
+                # the warm-row slice below is positional — a kernel that
+                # drops/adds rows would silently misalign (ADVICE r3)
+                raise ValueError(
+                    "grouped_apply_chunked: fn must return exactly one "
+                    f"row per input row (got {len(out)} out rows for "
+                    f"{len(g)} in rows); kernels that filter rows cannot "
+                    "run under chunked execution"
+                )
             # fn is row-aligned and stable-sorted by ts, and warm rows
             # strictly precede real rows in _rn order, so they are
             # exactly the first n_warm output rows

@@ -78,7 +78,7 @@ def rolling_percentile_rank(
 
     from .grouped import grouped_apply
 
-    return grouped_apply(df, by, fn, schema)
+    return grouped_apply(df, by, fn, schema, ts_col=ts_col)
 
 
 def rolling_rank_multi(
@@ -108,7 +108,7 @@ def rolling_rank_multi(
 
     from .grouped import grouped_apply
 
-    return grouped_apply(df, by, fn, schema)
+    return grouped_apply(df, by, fn, schema, ts_col=ts_col)
 
 
 def fused_rank(
@@ -137,4 +137,4 @@ def fused_rank(
 
     from .grouped import grouped_apply
 
-    return grouped_apply(df, by, fn, schema)
+    return grouped_apply(df, by, fn, schema, ts_col=ts_col)

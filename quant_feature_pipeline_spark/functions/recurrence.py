@@ -198,6 +198,8 @@ def compute_recurrence_indicators(
     chunk_rows: int | None = None,
     warmup_rows: int = 4_096,
     metrics=None,
+    auto_chunk_rows: int | None = 1_048_576,
+    local_chunk_rows: int = 262_144,
 ) -> DataFrame:
     """Runs as grouped_apply (explicit hash repartition + mapInPandas),
     NOT groupBy().applyInPandas: FlatMapGroupsInPandas reports unknown
@@ -226,4 +228,10 @@ def compute_recurrence_indicators(
             bars, by, ts_col, fn, out_schema,
             chunk_rows=chunk_rows, warmup_rows=warmup_rows,
         )
-    return grouped_apply(bars, by, fn, out_schema, metrics=metrics)
+    # ts_col enables the local huge-entity auto-chunking inside the
+    # Arrow task (bounded fn working set, no caller opt-in; grouped.py)
+    return grouped_apply(
+        bars, by, fn, out_schema, metrics=metrics,
+        ts_col=ts_col, warmup_rows=warmup_rows,
+        auto_chunk_rows=auto_chunk_rows, chunk_rows=local_chunk_rows,
+    )

@@ -122,11 +122,16 @@ def minhash_lsh_dup_pairs(
     bigger than that (a bucket of k ids emits k·(k-1)/2 pairs — an
     all-equal-hash pathology would go quadratic); dropped buckets mean
     MISSED candidates for documents whose only collision is in a mega
-    bucket — pass None for the uncapped result, ``log_dropped`` to count
-    the dropped buckets (one extra job).
+    bucket — pass None for the uncapped result. Dropped buckets are
+    ALWAYS logged as a warning, counted for free by an ``Observation``
+    riding the materializing action (no extra job — ADVICE r3;
+    ``log_dropped`` is retained for API compatibility and additionally
+    logs the zero-dropped case at INFO).
 
-    Returns the verified pairs persisted + materialized (they are tiny);
-    the intermediate candidate cache is unpersisted before returning.
+    Returns the verified pairs persisted + materialized (they are tiny).
+    CALLER CONTRACT: ``.unpersist()`` the returned DataFrame when done —
+    a long-lived session invoking this repeatedly otherwise accumulates
+    (small) cached blocks (ADVICE r3).
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -153,18 +158,17 @@ def minhash_lsh_dup_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    obs = None
     if max_bucket is not None:
-        if log_dropped:
-            import logging
+        from pyspark.sql import Observation
 
-            n_dropped = buckets.filter(F.size("ids") > max_bucket).count()
-            if n_dropped:
-                logging.getLogger(__name__).warning(
-                    "minhash_lsh_dup_pairs: dropped %d buckets larger than %d "
-                    "ids (quadratic-bucket cap; candidates in them are missed)",
-                    n_dropped, max_bucket,
-                )
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+        obs = Observation("minhash_bucket_cap")
+        buckets = buckets.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.size("ids") > max_bucket).cast("long")), F.lit(0)
+            ).alias("dropped_buckets"),
+        ).filter(F.size("ids") <= max_bucket)
     # k ids -> k(k-1)/2 (id_a < id_b) pairs; interpreted HOF but over
     # arrays of a few elements each
     pair_arr = F.flatten(
@@ -215,10 +219,25 @@ def minhash_lsh_dup_pairs(
         out = out.filter(F.col("jaccard") >= jaccard_threshold)
     # materialize the (small) verified result, then release the
     # candidate cache — repeated invocations in a long session must not
-    # accumulate cached blocks (ADVICE r2)
+    # accumulate cached blocks (ADVICE r2). The returned cache is the
+    # caller's to unpersist (see docstring).
     out = out.persist()
     out.count()
     cand.unpersist()
+    if obs is not None:
+        import logging
+
+        dropped = int(obs.get.get("dropped_buckets") or 0)
+        log = logging.getLogger(__name__)
+        if dropped:
+            log.warning(
+                "minhash_lsh_dup_pairs: dropped %d buckets larger than %d ids "
+                "(quadratic-bucket cap; candidates in them are missed — pass "
+                "max_bucket=None for the uncapped result)",
+                dropped, max_bucket,
+            )
+        elif log_dropped:
+            log.info("minhash_lsh_dup_pairs: no buckets exceeded max_bucket=%d", max_bucket)
     return out
 
 

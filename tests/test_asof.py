@@ -162,3 +162,37 @@ def test_asof_multi_duplicate_left_ts_no_fanout(spark):
     near = asof_join(left, right, direction="nearest").toPandas()
     assert len(near) == 5
     assert sorted(near["lval"]) == [0, 1, 2, 3, 4]
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_null_right_values(spark, strategy, direction):
+    """A matched right row with NULL in a value column must yield that
+    NULL (paired with its own matched_ts) — not an older row's value
+    (ADVICE r3: independent per-column ignorenulls fills mixed rows).
+    Two value columns with nulls planted on different rows so a
+    row-mixing bug is visible in either column."""
+    rng = np.random.RandomState(11)
+    lts = [T0 + datetime.timedelta(seconds=int(s)) for s in range(30, 3600, 90)]
+    lpdf = pd.DataFrame({"entity": "A", "ts": lts, "lval": rng.randn(len(lts))})
+    rts = [T0 + datetime.timedelta(minutes=5 * k) for k in range(12)]
+    rpdf = pd.DataFrame(
+        {
+            "entity": "A",
+            "ts": rts,
+            "rval": rng.randn(len(rts)),
+            "rval2": rng.randn(len(rts)),
+        }
+    )
+    rpdf.loc[rpdf.index % 3 == 1, "rval"] = np.nan
+    rpdf.loc[rpdf.index % 3 == 2, "rval2"] = np.nan
+    got = asof_join(
+        spark.createDataFrame(lpdf),
+        spark.createDataFrame(rpdf),
+        direction=direction,
+        strategy=strategy,
+    ).toPandas()
+    lg, rg = lpdf.sort_values("ts"), rpdf.drop(columns=["entity"]).sort_values("ts")
+    rg = rg.assign(matched_ts=rg["ts"])
+    want = pd.merge_asof(lg, rg, on="ts", direction=direction)
+    assert_frame_close(got, want, keys=["ts"])

@@ -117,3 +117,91 @@ def test_stage_metrics_accumulators(spark):
     assert rep["groups"] == 3
     assert rep["partitions"] >= 1
     assert rep["busy_wall_s"] > 0
+
+
+def test_auto_local_chunking_bit_identical(spark):
+    """grouped_apply's in-task auto-chunking (no caller opt-in, r4):
+    an entity above auto_chunk_rows is processed in warm-up-overlapped
+    local slices — output must be BIT-identical to the unchunked path.
+    Exercised through the generic compute_recurrence_indicators entry
+    point (the full EMA/Wilder/MACD/ATR/SuperTrend stack) with the
+    threshold lowered so a 16k-row entity trips the dispatch."""
+    pdf = make_bars_pdf(n=16_000, entities=("HUGE", "TINY"))
+    pdf = pdf[(pdf.entity == "HUGE") | (pdf.index % 40 == 0)].reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    cfg = PipelineConfig()
+
+    want = _key(
+        compute_recurrence_indicators(df, cfg, auto_chunk_rows=None).toPandas()
+    )
+    got = _key(
+        compute_recurrence_indicators(
+            df, cfg, auto_chunk_rows=8_000, local_chunk_rows=5_000
+        ).toPandas()
+    )
+    assert len(got) == len(want) == len(pdf)
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            a, b = got[c].to_numpy(), want[c].to_numpy()
+            an, bn = np.isnan(a), np.isnan(b)
+            assert np.array_equal(an, bn), c
+            assert (a[~an] == b[~bn]).all(), c
+        else:
+            assert got[c].equals(want[c]), c
+
+
+def test_auto_local_chunking_rejects_row_dropping_kernel(spark):
+    """A kernel that drops rows under auto-chunking must FAIL LOUDLY,
+    not silently misalign the warm-row slice (ADVICE r3)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    pdf = make_bars_pdf(n=3_000, entities=("A",))
+    df = spark.createDataFrame(pdf)
+    schema = df.schema
+
+    def bad(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[1:]
+
+    out = grouped_apply(
+        df, "entity", bad, schema,
+        ts_col="ts", auto_chunk_rows=1_000, chunk_rows=1_000, warmup_rows=100,
+    )
+    with pytest.raises(Exception, match="one row per input row"):
+        out.collect()
+
+
+def test_asof_auto_routes_hot_entity(spark):
+    """asof_join(strategy='auto'): hot entities route through the
+    bucketed path, cold through union_ffill — results identical to the
+    plain union_ffill join (both branches are exact)."""
+    import datetime
+
+    from quant_feature_pipeline_spark.operators.asof import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for e, n in (("HOT", 5_000), ("C1", 300), ("C2", 7)):
+        for k in range(n):
+            rows.append((e, t0 + datetime.timedelta(seconds=11 * k), float(k)))
+    left = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["entity", "ts", "lval"])
+    )
+    rrows = [
+        (e, t0 + datetime.timedelta(minutes=5 * k), float(100 + k))
+        for e in ("HOT", "C1", "C2")
+        for k in range(20)
+    ]
+    right = spark.createDataFrame(
+        pd.DataFrame(rrows, columns=["entity", "ts", "rval"])
+    )
+    for direction in ("backward", "forward"):
+        want = _key(
+            asof_join(left, right, direction=direction, strategy="union_ffill").toPandas()
+        )
+        got = _key(
+            asof_join(
+                left, right, direction=direction, strategy="auto", hot_rows=1_000
+            ).toPandas()
+        )
+        assert got.equals(want), direction

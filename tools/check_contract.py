@@ -50,8 +50,12 @@ def _float_bits_equal(av: pd.Series, bv: pd.Series) -> np.ndarray:
     differences — exactly what value-level ``allclose`` masks but a
     byte-level content hash sees.
     """
-    a = np.ascontiguousarray(av.to_numpy(dtype="float64", na_value=np.nan))
-    b = np.ascontiguousarray(bv.to_numpy(dtype="float64", na_value=np.nan))
+    # copy=True: for an already-float64 column to_numpy returns a VIEW of
+    # the caller's data and ascontiguousarray would be a no-op, so the
+    # in-place NaN canonicalization below would mutate the frames being
+    # compared (ADVICE r3)
+    a = np.array(av.to_numpy(dtype="float64", na_value=np.nan), dtype="float64", copy=True)
+    b = np.array(bv.to_numpy(dtype="float64", na_value=np.nan), dtype="float64", copy=True)
     a[np.isnan(a)] = np.nan  # canonical quiet-NaN bit pattern
     b[np.isnan(b)] = np.nan
     return a.view("uint64") == b.view("uint64")
@@ -110,7 +114,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    degraded = getattr(entrymod, "DEGRADED_ORACLES", {})
     failures = []
+    rows_only = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -123,7 +129,9 @@ def main() -> int:
             print(f"FAIL  {name:28s} spark error: {str(e)[:300]}")
             continue
         if name not in oracles:
-            print(f"ROWS  {name:28s} rows={len(spark_pdf)} cols={len(spark_pdf.columns)} ({time.time()-t0:.1f}s) [no oracle]")
+            why = degraded.get(name, "by design: no SQL-expressible oracle")
+            rows_only.append((name, why))
+            print(f"ROWS  {name:28s} rows={len(spark_pdf)} cols={len(spark_pdf.columns)} ({time.time()-t0:.1f}s) [rows-only: {why}]")
             continue
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
@@ -136,6 +144,12 @@ def main() -> int:
         if not ok:
             failures.append(name)
         print(f"{status}  {name:28s} rows={len(spark_pdf)} ({time.time()-t0:.1f}s) {msg if not ok else ''}")
+    if rows_only:
+        # every oracle-less entry and WHY (ADVICE/VERDICT r3: a gate run
+        # in a broken environment must not silently lose hash checks)
+        print(f"\n{len(rows_only)} rows-only entries (weaker check):")
+        for name, why in rows_only:
+            print(f"  - {name}: {why}")
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 
