@@ -37,6 +37,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 10^12 rows.
 TOKEN_ENTITIES = 256
 TOKEN_MINUTES = 30_000
+# shuffle partitions for the token job are sized to the DATA (the wide
+# merged frame), not the core count, and held CONSTANT across the N and
+# 4N runs — exactly how a real job is configured across cluster sizes.
+# Sizing them to cores-at-N (4) lets the subset-key co-partitioned plan
+# fuse deeply enough that one task pipelines ~640k wide rows of window
+# + join state and OOMs a 6 GB executor (r4); 16 partitions ≈ 160 MB of
+# wide rows each.
 
 HEADLINE = [
     "resample_ohlcv_15m",
@@ -77,10 +84,15 @@ def _token_job(n_exec: int) -> dict:
     spark = (
         SparkSession.builder.master(f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]")
         .appName(f"bench-token-{n_exec}x{EXEC_CORES}")
-        .config("spark.sql.shuffle.partitions", str(EXEC_CORES * n_exec))
+        .config("spark.sql.shuffle.partitions", str(TOKEN_PARTITIONS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # subset-key co-partitioning: reuse the up-front hash(entity)
+        # layout in every (entity, ts) join instead of re-exchanging the
+        # wide frames on all keys (measured: 5.3 GB -> 0.9 GB shuffle,
+        # 30.2 -> 23.6 s wall at 4x4; see session.py)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.executorEnv.PYTHONPATH", repo)
         .config("spark.local.dir", local_dir)
@@ -124,6 +136,85 @@ def _token_job(n_exec: int) -> dict:
             "rows_per_sec": n_rows / dt}
 
 
+def _token_phases(n_exec: int) -> dict:
+    """Per-phase wall breakdown of the SAME token job (fresh JVM):
+    resample (hierarchical rollup, persisted), indicators (the grouped
+    Arrow stages + Catalyst windows, persisted), merge+features (fused
+    multi-asof + payload joins + feature family, noop sink). Phases are
+    forced in sequence with counts, so each number isolates one slice of
+    the plan — the published artifact behind the scaling work (VERDICT
+    r3 item 1). Phase persists change WHAT is measured (no recompute
+    across phases), so phase-total ≈ but != the one-shot job time; the
+    delta vs the one-shot run measures the unpersisted recompute."""
+    import shutil
+
+    from pyspark.sql import SparkSession
+
+    from quant_feature_pipeline_spark.config import PipelineConfig
+    from quant_feature_pipeline_spark.plans.pipeline import (
+        feature_table,
+        indicator_table,
+        merge_timeframes,
+        resample_all,
+    )
+    from quant_feature_pipeline_spark.sources.bars import bars_from_tokens
+    from quant_feature_pipeline_spark.sources.tokens import synth_token_table
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    local_dir = "/dev/shm/spark-tmp" if os.path.isdir("/dev/shm") else "/tmp/spark-tmp"
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_exec},{EXEC_CORES},{EXEC_MEM_MB}]")
+        .appName(f"bench-token-phases-{n_exec}x{EXEC_CORES}")
+        .config("spark.sql.shuffle.partitions", str(TOKEN_PARTITIONS))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.executorEnv.PYTHONPATH", repo)
+        .config("spark.local.dir", local_dir)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tok = synth_token_table(spark, n_entities=TOKEN_ENTITIES, minutes=TOKEN_MINUTES)
+    bars = bars_from_tokens(tok).select(
+        "entity", "ts", "open", "high", "low", "close", "volume"
+    )
+    path = f"/tmp/bench_bars_ph_{n_exec}"
+    bars.write.mode("overwrite").parquet(path)
+    bars = spark.read.parquet(path)
+    bars.count()
+    cfg = PipelineConfig(base_tf="3m", resample_targets=("3m", "15m", "30m", "2h"))
+    res = {"executors": n_exec}
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    bars = bars.repartition(parts, "entity")
+    t0 = time.time()
+    tfs = resample_all(bars, cfg, persist=True)
+    for df in tfs.values():
+        df.count()
+    res["resample_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    inds = {tf: indicator_table(df, cfg).persist() for tf, df in tfs.items()}
+    for df in inds.values():
+        df.count()
+    res["indicators_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    merged = merge_timeframes(tfs[cfg.resample_targets[0]], inds, cfg)
+    feat = feature_table(merged, cfg)
+    feat.write.format("noop").mode("overwrite").save()
+    res["merge_features_s"] = round(time.time() - t0, 2)
+    res["phase_total_s"] = round(
+        res["resample_s"] + res["indicators_s"] + res["merge_features_s"], 2
+    )
+    spark.stop()
+    shutil.rmtree(path, ignore_errors=True)
+    return res
+
+
 def _cpu_control(n_exec: int) -> float:
     """Pure-CPU Spark job (hash chain over range, no input, no shuffle)
     — measures the VM's own parallel ceiling so the pipeline's scaling
@@ -155,6 +246,7 @@ SCALE_4N = SCALE_N * 4
 EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
 EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))  # median-of, interleaved (odd -> true middle)
+TOKEN_PARTITIONS = EXEC_CORES * SCALE_4N  # data-sized, constant across N/4N (see note at TOKEN_ENTITIES)
 CTL_REPS = 3
 
 
@@ -504,6 +596,10 @@ def main() -> None:
     if "--token-worker" in sys.argv:
         n_exec = int(sys.argv[sys.argv.index("--token-worker") + 1])
         print(json.dumps(_token_job(n_exec)))
+        return
+    if "--token-phases" in sys.argv:
+        n_exec = int(sys.argv[sys.argv.index("--token-phases") + 1])
+        print(json.dumps(_token_phases(n_exec)))
         return
     if "--cpu-control" in sys.argv:
         n_exec = int(sys.argv[sys.argv.index("--cpu-control") + 1])

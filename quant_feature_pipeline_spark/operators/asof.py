@@ -561,6 +561,8 @@ def asof_join_multi(
     allow_exact_matches: bool = True,
     tolerance_s: float | None = None,
     carry_left_payload: bool | None = None,
+    axis_tables: dict[str, DataFrame] | None = None,
+    hash_payload_joins: bool = False,
 ) -> DataFrame:
     """Backward as-of join of MANY right tables onto one left axis with
     ONE narrow sort — the fused, scale-tuned form of the reference's
@@ -593,6 +595,23 @@ def asof_join_multi(
     safe). The sort output stays hash-partitioned on ``by``, which
     satisfies the clustering requirement of every (by, matched_ts)
     payload join — Catalyst inserts no further exchange for them.
+
+    ``axis_tables`` (r4 scaling work): optional per-prefix tables whose
+    (by, on) rows are IDENTICAL to the matching right table's — e.g. the
+    pre-indicator resampled bars when rights are 1:1 row-preserving
+    indicator outputs. The narrow match only consumes (by, on), but a
+    right table behind an opaque Arrow stage (mapInPandas) cannot be
+    column-pruned through — without the hint the full indicator compute
+    runs TWICE (once to feed the narrow union, once in the payload
+    join). The caller owns the rows-identical guarantee.
+
+    ``hash_payload_joins``: plant SHUFFLE_HASH hints on the payload
+    attach joins. MEASURED SLOWER than sort-merge on the token bench
+    (merge phase 17.0 -> 19.4 s at 4x4): the per-partition build maps
+    lose to SMJ's whole-stage-codegen sorts at these row widths, so the
+    default stays False; kept as a switch for skewed/wider rights where
+    the trade can flip. Hints never change semantics, only the physical
+    strategy.
     """
     lcols = [c for c in left.columns if c not in (by, on)]
     blocks = {p: [c for c in r.columns if c not in (by, on)] for p, r in rights.items()}
@@ -633,7 +652,8 @@ def asof_join_multi(
             F.lit(i).cast("int").alias("_src"),
             F.col(on).cast(ts_type).alias("_rts"),
         ]
-        parts.append(rights[p].select(*sel))
+        axis = (axis_tables or {}).get(p, rights[p])
+        parts.append(axis.select(*sel))
     u = parts[0]
     for x in parts[1:]:
         u = u.unionByName(x)
@@ -689,6 +709,8 @@ def asof_join_multi(
             F.col(on).alias(f"_ron_{i}"),
             *[F.col(c).alias(f"{p}{c}") for c in blocks[p]],
         )
+        if hash_payload_joins:
+            r = r.hint("shuffle_hash")
         out = out.join(
             r,
             (F.col(by) == F.col(f"_rby_{i}")) & (F.col(f"_m_{i}") == F.col(f"_ron_{i}")),

@@ -92,9 +92,25 @@ def run_flagship(
     by: str = "entity",
     ts_col: str = "ts",
     persist_stages: bool = True,
+    approx_percentiles: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
-    """bars → (entity, ts, <45 contract feature columns>) on the base axis."""
+    """bars → (entity, ts, <45 contract feature columns>) on the base axis.
+
+    ``approx_percentiles`` swaps the two global-stats passes from exact
+    ``F.percentile`` (a full sort of the stat column — required for the
+    byte-exact oracle, fine at gate scale) to ``F.percentile_approx``
+    (KLL-sketch, one streaming pass, the 100 TB path). Approximate
+    quantiles move the winsor/clip bounds by O(1/accuracy) quantile
+    mass, so downstream features shift within the health-gate ranges but
+    are no longer bit-comparable — keep False wherever the oracle runs
+    (VERDICT r3 item 3 made this a real switch instead of a doc note)."""
     cfg = cfg or PipelineConfig()
+
+    def pctl(col: str, p: float):
+        if approx_percentiles:
+            return F.percentile_approx(col, F.lit(p), F.lit(approx_accuracy))
+        return F.percentile(col, F.lit(p))
     base_tf = cfg.resample_targets[0]
     ret_name = f"ret_{base_tf}_log"
     mult = {tf: tf_seconds(tf) // tf_seconds(base_tf) for tf in cfg.resample_targets}
@@ -146,12 +162,12 @@ def run_flagship(
     aggs = []
     for tf in cfg.resample_targets:
         aggs += [
-            F.percentile(f"_ax_{tf}", F.lit(ATR_CLIP_P[0])).alias(f"axlo_{tf}"),
-            F.percentile(f"_ax_{tf}", F.lit(ATR_CLIP_P[1])).alias(f"axhi_{tf}"),
+            pctl(f"_ax_{tf}", ATR_CLIP_P[0]).alias(f"axlo_{tf}"),
+            pctl(f"_ax_{tf}", ATR_CLIP_P[1]).alias(f"axhi_{tf}"),
         ]
     aggs += [
-        F.percentile(ret_name, F.lit(RET_WINSOR_P[0])).alias("ret_lo"),
-        F.percentile(ret_name, F.lit(RET_WINSOR_P[1])).alias("ret_hi"),
+        pctl(ret_name, RET_WINSOR_P[0]).alias("ret_lo"),
+        pctl(ret_name, RET_WINSOR_P[1]).alias("ret_hi"),
     ]
     s1 = df.agg(*aggs).first()
 
@@ -204,7 +220,7 @@ def run_flagship(
     # the winsorized return (population σ like np.std)
     s2 = df.agg(
         *[
-            F.percentile(f"_axf_{tf}", F.lit(ATR_CALIB_P)).alias(f"q_{tf}")
+            pctl(f"_axf_{tf}", ATR_CALIB_P).alias(f"q_{tf}")
             for tf in cfg.resample_targets
         ],
         F.stddev_pop("_retc").alias("ret_std"),

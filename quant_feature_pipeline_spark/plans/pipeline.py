@@ -97,6 +97,7 @@ def merge_timeframes(
     ts_col: str = "ts",
     asof_strategy: str = "multi",
     keep_right_cols: tuple[str, ...] = (),
+    axis_tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Step4 equivalent: as-of join each tf's indicators (OHLCV dropped,
     P2; ``keep_right_cols`` exempts columns the consumer needs, e.g. the
@@ -106,6 +107,13 @@ def merge_timeframes(
     Default "multi" fuses all timeframes into ONE sorted window pass
     (asof_join_multi); any two-table strategy falls back to the
     reference-shaped iterated loop (k sorts, k× row-width growth).
+
+    ``axis_tables`` maps tf -> the pre-indicator resampled bar table.
+    indicator_table is row-preserving, so each resampled table has
+    exactly the indicator table's (entity, ts) rows — feeding the cheap
+    resampled table to the narrow as-of match means the opaque indicator
+    Arrow stage is computed ONCE (payload join) instead of twice
+    (r4 scaling work; mapInPandas cannot be column-pruned through).
     """
     tol = (cfg.tolerance_ms / 1000.0) if cfg.tolerance_ms else None
     rights = {
@@ -139,6 +147,10 @@ def merge_timeframes(
                 by=by,
                 allow_exact_matches=cfg.allow_exact_match,
                 tolerance_s=tol,
+                axis_tables={
+                    f"{tf}_": ax for tf, ax in (axis_tables or {}).items()
+                    if f"{tf}_" in rights
+                },
             )
         if base_block is not None:
             merged = merged.join(base_block, [by, ts_col], "left")
@@ -187,7 +199,16 @@ def feature_table(
             )
     df = df.withColumns(new_cols)
     df = time_encodings(df, ts_col=ts_col)
-    df = log_return(df, src="close", out=f"ret_{base_tf}_log", by=by, ts_col=ts_col)
+    ret_col = f"ret_{base_tf}_log"
+    if ret_col not in df.columns:
+        df = log_return(df, src="close", out=ret_col, by=by, ts_col=ts_col)
+    else:
+        # computed upstream on the NARROW base table (r4): a lag window
+        # here would sort the full ~100-column merged frame once more —
+        # the single largest memory-bandwidth item left in the fused
+        # stage. Same float math on the same rows; reorder to keep the
+        # output schema identical (projection, free).
+        df = df.select(*[c for c in df.columns if c != ret_col], ret_col)
     return df
 
 
@@ -225,9 +246,18 @@ def run_pipeline(
     bars = bars.repartition(parts, by)
     tfs = resample_all(bars, cfg, by=by, ts_col=ts_col, persist=persist_stages)
     base = tfs[cfg.resample_targets[0]]
+    # base log return on the NARROW axis (7 cols) — feature_table would
+    # otherwise window-sort the merged ~100-col frame for one lag; the
+    # column rides the narrow as-of union like the OHLCV payload
+    base = log_return(
+        base, src="close", out=f"ret_{cfg.resample_targets[0]}_log", by=by, ts_col=ts_col
+    )
     inds = {
         tf: indicator_table(df, cfg, by=by, ts_col=ts_col)
         for tf, df in tfs.items()
     }
-    merged = merge_timeframes(base, inds, cfg, by=by, ts_col=ts_col, asof_strategy=asof_strategy)
+    merged = merge_timeframes(
+        base, inds, cfg, by=by, ts_col=ts_col, asof_strategy=asof_strategy,
+        axis_tables=tfs,
+    )
     return feature_table(merged, cfg, by=by, ts_col=ts_col)

@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow joins to co-partition on a SUBSET of the join keys: the
+        # engine hash-partitions everything by entity once up front, and
+        # every later (entity, ts)-keyed join should reuse that layout.
+        # With the default (true), EnsureRequirements re-exchanges BOTH
+        # sides on ALL join keys and then re-exchanges the join output
+        # back to hash(entity) for the next window — measured on the
+        # token pipeline: 5.3 GB of wide-frame shuffle vs 0.9 GB and
+        # 30.2 s vs 23.6 s wall at 4x4 executors with this off (r4)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

@@ -218,3 +218,148 @@ def streaming_asof_backward(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_asof_buffered(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on: str = "ts",
+    by: str = "entity",
+    tolerance_s: float | None = None,
+    right_prefix: str = "",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermark-buffered streaming backward as-of join — EXACT event-time
+    semantics under cross-batch disorder (VERDICT r3 item 2; the fast
+    carry-state variant above assumes per-entity in-order arrival).
+
+    Mechanics per entity group: both sides are buffered in group state;
+    a left row is emitted only once the watermark strictly passes its
+    timestamp. Spark's watermark filter guarantees no future row (either
+    side) can arrive with event time below the watermark, so every
+    emitted left has seen ALL rights with ``right.ts <= left.ts`` —
+    equality with the batch ``asof_join_union_ffill`` follows for rows
+    the watermark has passed, for ANY arrival order. Matching is one
+    vectorized ``pd.merge_asof`` per (entity, batch); buffers travel as
+    pickled frames in binary state columns. The right buffer is pruned
+    to the latest row at-or-below the watermark plus everything newer
+    (exactly what any future left can still match); held lefts re-check
+    on every batch and on an event-time timeout armed just past the
+    earliest held row.
+
+    Finite-replay flush: a stream that simply ENDS leaves lefts inside
+    the final watermark window buffered (Spark cannot know no more data
+    is coming). Append one far-future RIGHT sentinel row at the end of
+    the replay — it emits nothing itself, matches nothing real, and
+    advances the watermark past every real left so the event-time
+    timeout flushes them (tests/test_streaming.py drives this).
+    """
+    lcols = [c for c in left_stream.columns if c not in (by, on)]
+    vcols = [c for c in right_stream.columns if c not in (by, on)]
+    out_names = [f"{right_prefix}{c}" for c in vcols]
+
+    l_tag = left_stream.select(
+        F.col(by), F.col(on).cast("timestamp").alias(on), F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right_stream.schema[c].dataType).alias(f"_r_{c}") for c in vcols],
+    )
+    r_tag = right_stream.select(
+        F.col(by), F.col(on).cast("timestamp").alias(on), F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left_stream.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in vcols],
+    )
+    u = l_tag.unionByName(r_tag).withWatermark(on, watermark)
+
+    out_schema = T.StructType(
+        [left_stream.schema[by], T.StructField(on, T.TimestampType(), True)]
+        + [left_stream.schema[c] for c in lcols]
+        + [
+            T.StructField(o, right_stream.schema[c].dataType, True)
+            for c, o in zip(vcols, out_names)
+        ]
+        + [T.StructField(f"{right_prefix}matched_{on}", T.TimestampType(), True)]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("lbuf", T.BinaryType(), True),
+            T.StructField("rbuf", T.BinaryType(), True),
+        ]
+    )
+    tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
+    out_cols = [f.name for f in out_schema.fields]
+    rcols_full = [on] + [f"_r_{c}" for c in vcols]
+    lcols_full = [on] + lcols
+
+    def _match(key, lefts: pd.DataFrame, rights: pd.DataFrame) -> pd.DataFrame:
+        lefts = lefts.sort_values(on, kind="mergesort").reset_index(drop=True)
+        if len(rights):
+            r = rights.sort_values(on, kind="mergesort").rename(
+                columns={f"_r_{c}": o for c, o in zip(vcols, out_names)}
+            )
+            r[f"{right_prefix}matched_{on}"] = r[on]
+            res = pd.merge_asof(
+                lefts, r, on=on, direction="backward",
+                allow_exact_matches=True, tolerance=tol,
+            )
+        else:
+            res = lefts.copy()
+            for o in out_names:
+                res[o] = None
+            res[f"{right_prefix}matched_{on}"] = pd.NaT
+        res.insert(0, by, key[0])
+        return res[out_cols]
+
+    def update(key, pdfs, state: GroupState):
+        import pickle
+
+        lb, rb = state.get if state.exists else (None, None)
+        lefts = pickle.loads(lb) if lb else None
+        rights = pickle.loads(rb) if rb else None
+
+        chunks = [p for p in pdfs]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            bl = batch[batch["_side"] == 1][lcols_full]
+            br = batch[batch["_side"] == 0][rcols_full]
+            lefts = bl if lefts is None else pd.concat([lefts, bl], ignore_index=True)
+            rights = br if rights is None else pd.concat([rights, br], ignore_index=True)
+        if lefts is None:
+            lefts = pd.DataFrame(columns=lcols_full)
+        if rights is None:
+            rights = pd.DataFrame(columns=rcols_full)
+
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = pd.Timestamp(wm_ms, unit="ms")
+        ready = lefts[lefts[on] < wm]
+        held = lefts[lefts[on] >= wm]
+        if len(ready):
+            yield _match(key, ready, rights)
+        if len(rights):
+            # latest right at-or-below the watermark is still the
+            # backward match candidate for any future left; older rows
+            # can never be picked again
+            older = rights[rights[on] <= wm]
+            if len(older):
+                rights = rights[rights[on] >= older[on].max()]
+        if len(held) or len(rights):
+            state.update(
+                (
+                    pickle.dumps(held.reset_index(drop=True)) if len(held) else None,
+                    pickle.dumps(rights.reset_index(drop=True)) if len(rights) else None,
+                )
+            )
+            if len(held):
+                # flush as soon as the watermark passes the earliest
+                # held left (must arm strictly above the current wm)
+                t = int(held[on].min().value // 1_000_000) + 1
+                state.setTimeoutTimestamp(max(t, wm_ms + 1))
+        else:
+            state.remove()
+
+    return u.groupBy(by).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -251,3 +251,116 @@ def test_streaming_asof_matches_batch(spark, tmp_path, tol_s):
     assert len(got) == len(want) == len(lpdf)
     np.testing.assert_allclose(got["r_rval"].to_numpy(), want["r_rval"].to_numpy(), rtol=0, atol=0)
     assert got["r_matched_ts"].equals(want["r_matched_ts"])
+
+
+def test_streaming_asof_buffered_late_rights(spark, tmp_path):
+    """Watermark-buffered streaming as-of (r4): RIGHT rows arrive one
+    micro-batch LATE (cross-batch event-time disorder, within the
+    watermark delay) — output must still equal the batch as-of join,
+    which the carry-state variant cannot guarantee. A far-future right
+    sentinel advances the watermark so the finite replay flushes."""
+    import os as _os
+
+    import pandas as pd
+
+    from quant_feature_pipeline_spark.operators.asof import asof_join
+    from quant_feature_pipeline_spark.streaming.stateful import (
+        streaming_asof_buffered,
+    )
+
+    rng = np.random.RandomState(7)
+    t0 = pd.Timestamp("2024-01-01")
+    hours = 8
+    lparts, rparts = [], []
+    for h in range(hours):
+        n = 40
+        lparts.append(
+            pd.DataFrame(
+                {
+                    "entity": rng.choice(["A", "B"], n),
+                    "ts": t0
+                    + pd.Timedelta(hours=h)
+                    + pd.to_timedelta(np.sort(rng.choice(3600, n, False)), unit="s"),
+                    "lval": rng.randn(n),
+                }
+            )
+        )
+        rparts.append(
+            pd.DataFrame(
+                {
+                    "entity": np.repeat(["A", "B"], 6),
+                    "ts": t0
+                    + pd.Timedelta(hours=h)
+                    + pd.to_timedelta(list(np.arange(6) * 600) * 2, unit="s"),
+                    "rval": rng.randn(12),
+                }
+            )
+        )
+    lpdf = pd.concat(lparts, ignore_index=True)
+    rpdf = pd.concat(rparts, ignore_index=True)
+    sentinel = pd.DataFrame(
+        {"entity": ["A"], "ts": [t0 + pd.Timedelta(hours=100)], "rval": [0.0]}
+    )
+
+    src = str(tmp_path / "buf_src")
+    empty_l = lpdf.iloc[:0]
+    empty_r = rpdf.iloc[:0]
+    mt = 1_700_000_000
+    # batch i: lefts of hour i arrive ON TIME, rights of hour i arrive
+    # one batch LATE (in batch i+1); two sentinel batches at the end
+    for i in range(hours + 2):
+        lpiece = lparts[i] if i < hours else empty_l
+        if i == 0:
+            rpiece = empty_r
+        elif i <= hours:
+            rpiece = rparts[i - 1]
+        else:
+            rpiece = sentinel
+        for name, piece in (("left", lpiece), ("right", rpiece)):
+            d = f"{src}/{name}/f{i:02d}"
+            spark.createDataFrame(piece, schema=spark.createDataFrame(lpdf if name == "left" else rpdf).schema).coalesce(1).write.mode("overwrite").parquet(d)
+            for root, _, files in _os.walk(d):
+                for fn in files:
+                    _os.utime(_os.path.join(root, fn), (mt + i, mt + i))
+
+    def _stream(name, schema_src):
+        return (
+            spark.readStream.schema(spark.createDataFrame(schema_src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/{name}/*")
+        )
+
+    out = streaming_asof_buffered(
+        _stream("left", lpdf), _stream("right", rpdf),
+        right_prefix="r_", watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_buffered")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "buf_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(240)
+    got = (
+        spark.sql("SELECT * FROM asof_buffered")
+        .toPandas()
+        .sort_values(["entity", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    want = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(pd.concat([rpdf, sentinel], ignore_index=True)),
+            right_prefix="r_",
+        )
+        .toPandas()
+        .sort_values(["entity", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(lpdf), (len(got), len(want))
+    np.testing.assert_allclose(
+        got["r_rval"].to_numpy(), want["r_rval"].to_numpy(), rtol=0, atol=0
+    )
+    assert got["r_matched_ts"].equals(want["r_matched_ts"])

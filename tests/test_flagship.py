@@ -210,3 +210,36 @@ def test_export_npz_contract_roundtrip(spark, tmp_path):
         assert not np.isnan(z["prices"]).any()
         assert str(z["schema_sha"]) == manifest.schema_sha
         assert (np.diff(z["timestamps"]) > 0).all()  # sorted, ms epoch
+
+
+def test_approx_percentiles_mode(spark):
+    """approx_percentiles=True (the 100 TB scale switch, r4): same
+    schema and rows, every bounded feature group still passes the
+    health gate, and features stay close to exact mode — the approx
+    sketch only moves the global winsor/clip bounds slightly."""
+    bars = spark.createDataFrame(make_bars_pdf(n=500, entities=("A",), freq_s=60))
+    exact = run_flagship(bars, CFG).toPandas().sort_values(["entity", "ts"])
+    approx = (
+        run_flagship(bars, CFG, approx_percentiles=True)
+        .toPandas()
+        .sort_values(["entity", "ts"])
+    )
+    assert list(exact.columns) == list(approx.columns)
+    assert len(exact) == len(approx)
+    health = flagship_health(
+        run_flagship(bars, CFG, approx_percentiles=True), CFG
+    ).toPandas().set_index("feature")
+    _, manifest = run_flagship_contract(bars, CFG)
+    bounded = [
+        n
+        for n, g in manifest.feature_groups.items()
+        if g in ("market_state", "momentum", "bb_width", "volume", "rsi", "time", "atr")
+    ]
+    assert (health.loc[bounded, "oor_ratio"] == 0.0).all()
+    for c in flagship_feature_names(CFG):
+        a = exact[c].to_numpy(dtype=float)
+        b = approx[c].to_numpy(dtype=float)
+        m = ~(np.isnan(a) | np.isnan(b))
+        assert np.isnan(a).sum() == np.isnan(b).sum(), c
+        # calibrated groups shift with the bounds; stay within 0.15 abs
+        assert np.max(np.abs(a[m] - b[m]), initial=0.0) < 0.15, c
