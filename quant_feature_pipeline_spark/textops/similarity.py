@@ -132,47 +132,82 @@ def ivf_train(
     iters: int = 3,
     seed: int = 7,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
-    """Distributed Lloyd refinement of the IVF coarse quantizer.
+    """Distributed Lloyd refinement of the IVF coarse quantizer,
+    BIT-DETERMINISTIC (r4 — the previous per-(cell,dim) ``F.avg`` summed
+    in shuffle arrival order, so two runs could differ in the last ulp
+    and no external oracle could reproduce the result).
 
-    Each iteration is (1) a MAP-ONLY assignment — the candidate scores
-    are an inline literal-centroid array expression, argmin JVM-side, no
-    crossJoin and no window — and (2) one aggregation: posexplode the
-    vectors and average per (cell, dimension). Only n_cells rows ever
-    reach the driver, per iteration. Empty cells keep their previous
+    Each iteration is (1) a MAP-ONLY vectorized Arrow assignment (the
+    same per-dimension sequential fold as ivf_topk's assignment kernel,
+    so an independent numpy replica reproduces every score bit) and
+    (2) ONE grouped Arrow stage per cell that sorts the cell's members
+    by ``id_col`` and runs ``np.add.reduce`` over rows in that fixed
+    order — a deterministic fold an oracle replays exactly. Only
+    n_cells (sum, count) rows reach the driver per iteration; the mean
+    divide happens driver-side. Empty cells keep their previous
     centroid. At 100 TB you train on a SAMPLE (df.sample) — the k-means
     objective needs representative data, not all of it — and persist the
     returned literals; the ivf_topk assignment/probe plumbing is
     identical for seeded and trained centroids.
     """
-    cents = ivf_centroids(dim, n_cells, seed)
-    vecs = df.select(_dbl(F.col(vec_col)).alias("_v")).persist()
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cents = [list(map(float, c)) for c in ivf_centroids(dim, n_cells, seed)]
+    vecs = df.select(F.col(id_col).alias("_id"), _dbl(F.col(vec_col)).alias("_v")).persist()
+    stats_schema = T.StructType(
+        [
+            T.StructField("_cell", T.IntegerType(), False),
+            T.StructField("_n", T.LongType(), False),
+            T.StructField("_sum", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
     try:
         for _ in range(iters):
-            scores = F.array(
-                *[
-                    F.lit(float(np.dot(c, c)))
-                    - 2.0 * _dot(F.col("_v"), F.array(*[F.lit(float(x)) for x in c]))
-                    for c in cents
-                ]
-            )
-            cell = F.array_position(scores, F.array_min(scores)) - 1
-            exploded = vecs.select(
-                cell.alias("_cell"), F.posexplode(F.col("_v")).alias("_pos", "_x")
-            )
-            rows = (
-                exploded.groupBy("_cell", "_pos")
-                .agg(F.avg("_x").alias("_m"))
-                .groupBy("_cell")
-                .agg(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("_pos", "_m"))),
-                        lambda s: s["_m"],
-                    ).alias("_centroid")
+            cents_np = np.array(cents, dtype=np.float64)
+            c2_np = np.array([float(np.dot(c, c)) for c in cents], dtype=np.float64)
+
+            @F.pandas_udf("int")
+            def _assign(vs):  # no hints: postponed annotations break eval-type inference
+                if not len(vs):
+                    return pd.Series(np.empty(0, dtype=np.int32))
+                zero = np.zeros(cents_np.shape[1])
+                v = np.stack([x if x is not None else zero for x in vs.to_numpy()])
+                dots = np.zeros((len(v), len(cents_np)), dtype=np.float64)
+                for d in range(cents_np.shape[1]):
+                    dots += v[:, [d]] * cents_np[None, :, d]
+                scores = c2_np[None, :] - 2.0 * dots
+                return pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+            def _cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("_id", kind="mergesort")
+                mat = np.stack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["_v"].to_numpy()]
                 )
+                s = np.add.reduce(mat, axis=0)
+                return pd.DataFrame(
+                    {
+                        "_cell": [int(pdf["_cell"].iloc[0])],
+                        "_n": [len(mat)],
+                        "_sum": [[float(x) for x in s]],
+                    }
+                )
+
+            rows = (
+                vecs.select("_id", "_v", _assign(F.col("_v")).alias("_cell"))
+                .groupBy("_cell")
+                .applyInPandas(_cell_stats, schema=stats_schema)
                 .collect()
             )
-            new = {int(r["_cell"]): [float(x) for x in r["_centroid"]] for r in rows}
+            new = {
+                int(r["_cell"]): (
+                    np.asarray(r["_sum"], dtype=np.float64) / float(r["_n"])
+                ).tolist()
+                for r in rows
+            }
             cents = [new.get(i, cents[i]) for i in range(n_cells)]
     finally:
         vecs.unpersist()
