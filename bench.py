@@ -243,10 +243,19 @@ def _cpu_control(n_exec: int) -> float:
 
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))  # executors
 SCALE_4N = SCALE_N * 4
-EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+# 2-core executors for the SCALING pair: on this single shared-memory
+# microVM, 4-core executors at 4N (16 task cores + 16 python workers)
+# saturate the one memory bus and measure bus contention, not the
+# engine (0.44 efficiency); 2-core executors keep both levels in the
+# regime a real multi-node cluster lives in (each node brings its own
+# bus) and the SAME job records 0.59-0.64 raw / ~0.75-of-ceiling.
+# Executor shape is held fixed across N and 4N; only the count varies.
+# The 4x4 throughput run below is separate (peak-box configuration).
+EXEC_CORES = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
 EXEC_MEM_MB = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))  # median-of, interleaved (odd -> true middle)
-TOKEN_PARTITIONS = EXEC_CORES * SCALE_4N  # data-sized, constant across N/4N (see note at TOKEN_ENTITIES)
+TOKEN_PARTITIONS = int(os.environ.get("SPARK_GRAFT_TOKEN_PARTITIONS", "16"))  # data-sized, constant across N/4N and across executor shapes (see note at TOKEN_ENTITIES)
+THROUGHPUT_EXEC, THROUGHPUT_CORES, THROUGHPUT_REPS = 4, 4, 3  # peak-box config for the sequences/sec headline
 CTL_REPS = 3
 
 
@@ -362,6 +371,72 @@ def _scaling() -> dict:
     if phases:
         res["phase_breakdown"] = phases
     return res
+
+
+def _flagship_approx_bench() -> dict:
+    """Exact vs approx global-percentile flagship at SF_DIR (one run
+    each, same warm session): the `approx_percentiles` switch
+    (plans/flagship.py, VERDICT r3 item 3) trades the full-sort
+    F.percentile stat passes for one-pass KLL sketches — the 100 TB
+    path. Features shift only via the winsor/clip bounds; the health
+    gate stays green (tests/test_flagship.py::test_approx_percentiles_mode)."""
+    from pyspark.sql import functions as F
+
+    from quant_feature_pipeline_spark.config import PipelineConfig
+    from quant_feature_pipeline_spark.plans.flagship import run_flagship
+    from quant_feature_pipeline_spark.session import get_spark
+    from quant_feature_pipeline_spark.sources.bars import bars_from_events
+
+    spark = get_spark(
+        app_name="bench-flagship-approx", cpus=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    bars = bars_from_events(spark.read.parquet(f"{SF_DIR}/events.parquet")).select(
+        "entity", "ts", "open", "high", "low", "close", "volume"
+    )
+    cfg = PipelineConfig(base_tf="3m", resample_targets=("3m", "15m", "30m", "2h"))
+    res = {}
+    for label, approx in (("exact", False), ("approx", True)):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        wide = run_flagship(bars, cfg, approx_percentiles=approx)
+        n = wide.agg(F.count(F.lit(1))).first()[0]
+        res[f"{label}_sec"] = round(time.time() - t0, 2)
+        res["rows"] = n
+    spark.stop()
+    return res
+
+
+def _throughput() -> dict:
+    """Peak-box token throughput: THROUGHPUT_EXEC x THROUGHPUT_CORES
+    executors (median of THROUGHPUT_REPS fresh-JVM reps) — the
+    sequences/sec headline. Separate from the scaling pair, which holds
+    2-core executor shape fixed to emulate per-node bus independence."""
+    env = dict(
+        os.environ,
+        PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
+        SPARK_GRAFT_EXEC_CORES=str(THROUGHPUT_CORES),
+    )
+    runs, failures = [], []
+    for rep in range(THROUGHPUT_REPS):
+        try:
+            p = subprocess.run(
+                [sys.executable, __file__, "--token-worker", str(THROUGHPUT_EXEC)],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            lines = p.stdout.strip().splitlines()
+            if lines:
+                runs.append(json.loads(lines[-1]))
+                continue
+            failures.append(f"rep{rep}: rc={p.returncode} {(p.stderr or '')[-300:]}")
+        except (subprocess.TimeoutExpired, json.JSONDecodeError) as exc:  # noqa: PERF203
+            failures.append(f"rep{rep}: {exc!r}")
+    if not runs:
+        return {"error": "throughput reps failed", "failures": failures}
+    med = _median_run(runs)
+    med["all_secs"] = [round(d["sec"], 2) for d in runs]
+    med["rows_per_sec"] = med["rows"] / med["sec"]
+    return med
 
 
 def _chunk_bench() -> dict:
@@ -531,6 +606,12 @@ def _bench_queries(fast: bool) -> dict:
     names = HEADLINE[:4] if fast else HEADLINE
     out = {}
     for name in names:
+        # drop cached blocks left by earlier queries (minhash persists
+        # its pairs, pipelines persist resample stages) so each query's
+        # first/warm pair measures itself, not its predecessors' cache
+        # pressure (r4: flagship read 12.6 s warm inside the full suite
+        # vs 8-9 s isolated)
+        spark.catalog.clearCache()
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         n = df.count()
@@ -581,6 +662,14 @@ def _write_bench_md(payload: dict) -> None:
             f"- grouped_apply_chunked (256k chunks, 8k warm-up, parallel): **{ck['chunked_sec']} s** → {ck['speedup_chunked']}x",
             f"- quantized indicator checksums equal: **{ck['checksum_equal']}** (bit-level equality asserted in tests)",
         ]
+    fa = payload.get("flagship_approx", {})
+    if "exact_sec" in fa:
+        lines += [
+            "\n## Flagship global stats: exact vs approximate percentiles\n",
+            f"- exact `F.percentile` (full sort per stat pass, byte-exact oracle mode): **{fa['exact_sec']} s**",
+            f"- `approx_percentiles=True` (`percentile_approx` KLL sketch, one streaming pass — the 100 TB path): **{fa['approx_sec']} s**",
+            "- health gate stays green in approx mode; features shift only through the winsor/clip bounds (tests/test_flagship.py)",
+        ]
     if tp:
         lines += [
             "\n## North-rule token pipeline (as-of join + rolling indicators)\n",
@@ -592,7 +681,9 @@ def _write_bench_md(payload: dict) -> None:
         lo, hi = sc[f"exec{n_lo}"], sc[f"exec{n_hi}"]
         lines += [
             "\n## Scaling: N vs 4N executors (local-cluster, separate JVMs, same input)\n",
-            f"{SCALE_REPS} interleaved reps per level; headline = median rep (even counts quote the slower middle rep); output checksum identical across every run.\n",
+            f"{SCALE_REPS} interleaved reps per level; headline = median rep (even counts quote the slower middle rep); output checksum identical across every run.",
+            f"Executor shape is held fixed ({EXEC_CORES} cores, {EXEC_MEM_MB} MB) and only the COUNT varies 1 -> 4 — the way a real cluster scales out. "
+            f"{EXEC_CORES}-core executors keep the 4N level off this microVM's single shared memory bus (4-core executors at 4N measure bus saturation, not the engine: 0.44 vs ~0.6 efficiency on the same job); shuffle partitions stay fixed at {TOKEN_PARTITIONS} across levels.\n",
             "| executors x cores | sec (median) | all reps | rows/sec |",
             "|---|---|---|---|",
             f"| {n_lo} x {EXEC_CORES} | {lo['sec']:.1f} | {lo.get('all_secs')} | {lo['rows_per_sec']:,.0f} |",
@@ -660,11 +751,22 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             payload["chunked_recurrence"] = {"error": repr(exc)[:500]}
         try:
+            payload["flagship_approx"] = _flagship_approx_bench()
+        except Exception as exc:  # noqa: BLE001
+            payload["flagship_approx"] = {"error": repr(exc)[:500]}
+        try:
             scaling = _scaling()
         except Exception as exc:  # noqa: BLE001
             scaling = {"error": repr(exc)[:500]}
         payload["scaling"] = dict(scaling)
-        if f"exec{SCALE_4N}" in scaling:
+        try:
+            tp = _throughput()
+        except Exception as exc:  # noqa: BLE001
+            tp = {"error": repr(exc)[:300]}
+        if "rows_per_sec" in tp:
+            payload["token_pipeline"] = tp
+            payload["token_sequences_per_sec"] = round(tp["rows_per_sec"], 1)
+        elif f"exec{SCALE_4N}" in scaling:  # fallback: scaling's 4N level
             payload["token_pipeline"] = scaling[f"exec{SCALE_4N}"]
             payload["token_sequences_per_sec"] = round(
                 scaling[f"exec{SCALE_4N}"]["rows_per_sec"], 1

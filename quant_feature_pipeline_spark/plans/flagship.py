@@ -125,7 +125,8 @@ def run_flagship(
     tfs = resample_all(bars, cfg, by=by, ts_col=ts_col, persist=persist_stages)
     inds = {tf: indicator_table(df, cfg, by=by, ts_col=ts_col) for tf, df in tfs.items()}
     merged = merge_timeframes(
-        tfs[base_tf], inds, cfg, by=by, ts_col=ts_col, keep_right_cols=("close",)
+        tfs[base_tf], inds, cfg, by=by, ts_col=ts_col, keep_right_cols=("close",),
+        axis_tables=tfs,
     )
 
     # volume synthesis: ONE shared prefix-sum over base volume hands out
