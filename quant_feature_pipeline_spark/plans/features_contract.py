@@ -173,37 +173,47 @@ def health_check(
     df: DataFrame, feature_cols: list[str], sample_ranges: dict[str, tuple[float, float]] | None = None
 ) -> DataFrame:
     """A7 — per-feature mean/std/min/max + out-of-range ratio
-    (`tools/export_utils.py:166-225`). One aggregate job; unpivoted
-    result (feature, mean, std, min, max, oor_ratio, group)."""
+    (`tools/export_utils.py:166-225`).
+
+    Unpivot-then-groupBy form (VERDICT r3 nit: the previous single-job
+    variant compiled 5 aggregate expressions PER feature — 225 for the
+    45-column contract — into one fat codegen stage; a 10×-wider
+    contract would have blown codegen limits). The melt emits narrow
+    (feature, value) rows, the per-feature bounds ride as broadcast map
+    literals, and the aggregation partial-combines map-side, so cost is
+    linear in rows × features with a fixed 5-expression plan."""
     ranges = sample_ranges or GROUP_RANGES
-    aggs = []
-    for c in feature_cols:
-        g = group_of(c)
-        lo, hi = ranges.get(g, (float("-inf"), float("inf")))
-        x = F.col(c)
-        aggs += [
-            F.avg(x).alias(f"{c}__mean"),
-            F.stddev_samp(x).alias(f"{c}__std"),
-            F.min(x).alias(f"{c}__min"),
-            F.max(x).alias(f"{c}__max"),
-            F.avg(
-                F.when(x.isNull() | (x < lo) | (x > hi), 1.0).otherwise(0.0)
-            ).alias(f"{c}__oor"),
-        ]
-    row = df.agg(*aggs).first()
     spark = df.sparkSession
-    data = [
-        (
-            c,
-            group_of(c),
-            row[f"{c}__mean"],
-            row[f"{c}__std"],
-            row[f"{c}__min"],
-            row[f"{c}__max"],
-            row[f"{c}__oor"],
-        )
-        for c in feature_cols
-    ]
-    return spark.createDataFrame(
-        data, "feature string, grp string, mean double, std double, min double, max double, oor_ratio double"
+    bounds = {
+        c: ranges.get(group_of(c), (float("-inf"), float("inf"))) for c in feature_cols
+    }
+    lo_map = F.create_map(
+        *[e for c in feature_cols for e in (F.lit(c), F.lit(float(bounds[c][0])))]
+    )
+    hi_map = F.create_map(
+        *[e for c in feature_cols for e in (F.lit(c), F.lit(float(bounds[c][1])))]
+    )
+    long = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols]
+    ).unpivot([], feature_cols, "feature", "value")
+    x = F.col("value")
+    lo = F.element_at(lo_map, F.col("feature"))
+    hi = F.element_at(hi_map, F.col("feature"))
+    agg = long.groupBy("feature").agg(
+        F.avg(x).alias("mean"),
+        F.stddev_samp(x).alias("std"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"),
+        F.avg(F.when(x.isNull() | (x < lo) | (x > hi), 1.0).otherwise(0.0)).alias(
+            "oor_ratio"
+        ),
+    )
+    # left-join against the literal feature list so every requested
+    # feature yields a row (all-null stats on empty input, like the
+    # previous formulation) and the group label attaches
+    feats = spark.createDataFrame(
+        [(c, group_of(c)) for c in feature_cols], "feature string, grp string"
+    )
+    return feats.join(agg, "feature", "left").select(
+        "feature", "grp", "mean", "std", "min", "max", "oor_ratio"
     )
