@@ -861,12 +861,20 @@ def q_cube_agg(spark, sf_dir):
 
 
 def q_streaming_asof_15m(spark, sf_dir):
-    """STR — streaming point-in-time enrich, a REAL streaming execution:
-    raw events stream as-of joined (backward, applyInPandasWithState
-    carrying the latest right row) against a stream of CLOSED 15m bars
-    (end-labeled, so every matched bar is fully closed before the event
-    — leakage-free). On bounded in-order input the result equals the
-    batch as-of join, so the oracle is DuckDB's ASOF JOIN."""
+    """STR — streaming point-in-time enrich under DISORDERED replay, a
+    REAL streaming execution of the watermark-buffered as-of join (r4;
+    the r3 gate used the in-order carry-state variant and had to pin the
+    right replay to one file): raw events stream as-of joined against a
+    stream of CLOSED 15m bars whose files are replayed LATE-HALF-FIRST —
+    every bar of the second half of the time range arrives a full
+    micro-batch before the first half. streaming_asof_buffered holds
+    lefts until the watermark passes them, so the output equals the
+    batch as-of join for ANY arrival order and the oracle is still
+    DuckDB's ASOF JOIN. Two far-future sentinel right rows advance the
+    watermark so the bounded replay flushes (they match nothing: all
+    left timestamps precede them)."""
+    import datetime as _dt
+    import shutil
     import uuid
 
     from quant_feature_pipeline_spark.streaming.micro import (
@@ -874,36 +882,55 @@ def q_streaming_asof_15m(spark, sf_dir):
         stream_bars_from_dir,
     )
     from quant_feature_pipeline_spark.streaming.stateful import (
-        streaming_asof_backward,
+        streaming_asof_buffered,
     )
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     left = stream_bars_from_dir(
-        spark, f"{sf_dir}/events*.parquet", schema=schema
+        spark, f"{sf_dir}/events*.parquet", schema=schema, max_files_per_trigger=1
     ).select("user_id", "ts", "event_id", "value")
 
-    # right side: closed 15m bars, precomputed in batch and replayed as
-    # a stream (a second file source)
     bars = resample_ohlcv(_ticks(spark, sf_dir), "15m", by="user_id").select(
         "user_id", "ts", F.col("close").alias("rclose")
     )
+    st = bars.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = st["lo"], st["hi"]
+    # watermark delay covers the whole span + a day: no real row (either
+    # side, any replay order) is ever late-dropped, and nothing emits
+    # until the sentinels push the watermark past every left
+    span_s = int((hi - lo).total_seconds()) + 86_400
+    mid = lo + (hi - lo) / 2
+    sent1 = hi + _dt.timedelta(seconds=span_s + 7_200)
+    ent = bars.select("user_id").first()[0]
+    sentinels = [
+        spark.createDataFrame([(ent, s, 0.0)], bars.schema)
+        for s in (sent1, sent1 + _dt.timedelta(seconds=900))
+    ]
     rdir = f"/tmp/stream_asof_right_{uuid.uuid4().hex[:8]}"
-    # ONE file on purpose: the streaming as-of's exactness contract is
-    # in-order arrival per entity ACROSS micro-batches; multiple files
-    # would replay in mtime order, not ts order (the multi-batch carry
-    # path is exercised with ts-aligned files in tests)
-    bars.coalesce(1).write.mode("overwrite").parquet(rdir)
-    right = stream_bars_from_dir(spark, rdir, schema=spark.read.parquet(rdir).schema)
+    pieces = [
+        bars.filter(F.col("ts") >= F.lit(mid)),  # LATE half arrives FIRST
+        bars.filter(F.col("ts") < F.lit(mid)),
+        *sentinels,
+    ]
+    mt = 1_700_000_000
+    for i, piece in enumerate(pieces):
+        d = f"{rdir}/f{i}"
+        piece.coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (mt + 4 * i, mt + 4 * i))
+    right = stream_bars_from_dir(
+        spark, f"{rdir}/f*", schema=bars.schema, max_files_per_trigger=1
+    )
 
-    out = streaming_asof_backward(
-        left, right, on="ts", by="user_id", right_prefix="r15_"
+    out = streaming_asof_buffered(
+        left, right, on="ts", by="user_id", right_prefix="r15_",
+        watermark=f"{span_s} seconds",
     )
     name = f"stream_asof_{uuid.uuid4().hex[:8]}"
     try:
         run_stream_to_table(out, name, output_mode="append")
     finally:
-        import shutil
-
         shutil.rmtree(rdir, ignore_errors=True)
     return spark.table(name)
 

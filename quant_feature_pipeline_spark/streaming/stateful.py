@@ -316,13 +316,20 @@ def streaming_asof_buffered(
         lefts = pickle.loads(lb) if lb else None
         rights = pickle.loads(rb) if rb else None
 
+        def _append(buf, new):
+            # concat only non-empty pieces: pandas deprecates concat
+            # with empty/all-NA frames (it would change result dtypes)
+            if buf is None or not len(buf):
+                return new
+            if not len(new):
+                return buf
+            return pd.concat([buf, new], ignore_index=True)
+
         chunks = [p for p in pdfs]
         if chunks:
             batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-            bl = batch[batch["_side"] == 1][lcols_full]
-            br = batch[batch["_side"] == 0][rcols_full]
-            lefts = bl if lefts is None else pd.concat([lefts, bl], ignore_index=True)
-            rights = br if rights is None else pd.concat([rights, br], ignore_index=True)
+            lefts = _append(lefts, batch[batch["_side"] == 1][lcols_full])
+            rights = _append(rights, batch[batch["_side"] == 0][rcols_full])
         if lefts is None:
             lefts = pd.DataFrame(columns=lcols_full)
         if rights is None:
