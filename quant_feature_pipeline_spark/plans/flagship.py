@@ -31,7 +31,9 @@ percentile_approx; same one-job-then-broadcast shape).
 
 from __future__ import annotations
 
+import json
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -86,6 +88,61 @@ def _clip01(c: Column) -> Column:
     return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
 
 
+@dataclass
+class FlagshipStats:
+    """The flagship's global normalization statistics, persistable for
+    train/serve determinism (SURVEY §7.3 hard part 5; the reference's
+    ``per_period fixed_gamma`` in `congfigs/step5_mapping.yaml` — serve
+    mode must reuse TRAIN-time winsor bounds and calibration γ, not
+    recompute them on serving data). ``run_flagship(stats=...)`` skips
+    both global-stats jobs and reproduces train-time features
+    bit-for-bit; JSON round-trip is exact (repr shortest-float).
+
+    Fields: ``ax_bounds`` tf -> (lo, hi) atr 2–98% clip bounds (None
+    when undefined on the training data), ``ret_lo/ret_hi`` return
+    winsor bounds, ``gammas`` tf -> power-calibration γ, ``ret_std``
+    population σ of the winsorized return."""
+
+    ax_bounds: dict[str, tuple[float | None, float | None]]
+    ret_lo: float
+    ret_hi: float
+    gammas: dict[str, float]
+    ret_std: float
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "ax_bounds": {k: list(v) for k, v in self.ax_bounds.items()},
+                "ret_lo": self.ret_lo,
+                "ret_hi": self.ret_hi,
+                "gammas": self.gammas,
+                "ret_std": self.ret_std,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "FlagshipStats":
+        d = json.loads(s)
+        return cls(
+            ax_bounds={
+                k: (v[0], v[1]) for k, v in d["ax_bounds"].items()
+            },
+            ret_lo=d["ret_lo"],
+            ret_hi=d["ret_hi"],
+            gammas=d["gammas"],
+            ret_std=d["ret_std"],
+        )
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as fh:
+            fh.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "FlagshipStats":
+        with open(path) as fh:
+            return cls.from_json(fh.read())
+
+
 def run_flagship(
     bars: DataFrame,
     cfg: PipelineConfig | None = None,
@@ -94,6 +151,8 @@ def run_flagship(
     persist_stages: bool = True,
     approx_percentiles: bool = False,
     approx_accuracy: int = 10_000,
+    stats: FlagshipStats | None = None,
+    return_stats: bool = False,
 ) -> DataFrame:
     """bars → (entity, ts, <45 contract feature columns>) on the base axis.
 
@@ -104,7 +163,14 @@ def run_flagship(
     quantiles move the winsor/clip bounds by O(1/accuracy) quantile
     mass, so downstream features shift within the health-gate ranges but
     are no longer bit-comparable — keep False wherever the oracle runs
-    (VERDICT r3 item 3 made this a real switch instead of a doc note)."""
+    (VERDICT r3 item 3 made this a real switch instead of a doc note).
+
+    ``stats`` (serve mode): reuse persisted train-time global statistics
+    — BOTH global-stats jobs are skipped, the serve-time plan has zero
+    driver actions for stats, and features on shared history are
+    bit-identical to the training run (train/serve determinism, the
+    reference's fixed_gamma discipline). ``return_stats=True`` makes the
+    training run return ``(DataFrame, FlagshipStats)``."""
     cfg = cfg or PipelineConfig()
 
     def pctl(col: str, p: float):
@@ -159,30 +225,42 @@ def run_flagship(
         df = df.persist()
 
     # pass-1 global stats (one job, broadcast as literals): atr 2-98%
-    # winsor bounds per tf + return winsorize bounds
-    aggs = []
-    for tf in cfg.resample_targets:
+    # winsor bounds per tf + return winsorize bounds — or the persisted
+    # train-time values in serve mode
+    if stats is None:
+        aggs = []
+        for tf in cfg.resample_targets:
+            aggs += [
+                pctl(f"_ax_{tf}", ATR_CLIP_P[0]).alias(f"axlo_{tf}"),
+                pctl(f"_ax_{tf}", ATR_CLIP_P[1]).alias(f"axhi_{tf}"),
+            ]
         aggs += [
-            pctl(f"_ax_{tf}", ATR_CLIP_P[0]).alias(f"axlo_{tf}"),
-            pctl(f"_ax_{tf}", ATR_CLIP_P[1]).alias(f"axhi_{tf}"),
+            pctl(ret_name, RET_WINSOR_P[0]).alias("ret_lo"),
+            pctl(ret_name, RET_WINSOR_P[1]).alias("ret_hi"),
         ]
-    aggs += [
-        pctl(ret_name, RET_WINSOR_P[0]).alias("ret_lo"),
-        pctl(ret_name, RET_WINSOR_P[1]).alias("ret_hi"),
-    ]
-    s1 = df.agg(*aggs).first()
+        s1 = df.agg(*aggs).first()
+        ax_bounds = {
+            tf: (
+                float(s1[f"axlo_{tf}"]) if s1[f"axlo_{tf}"] is not None else None,
+                float(s1[f"axhi_{tf}"]) if s1[f"axhi_{tf}"] is not None else None,
+            )
+            for tf in cfg.resample_targets
+        }
+        ret_lo = float(s1["ret_lo"]) if s1["ret_lo"] is not None else 0.0
+        ret_hi = float(s1["ret_hi"]) if s1["ret_hi"] is not None else 0.0
+    else:
+        ax_bounds = stats.ax_bounds
+        ret_lo, ret_hi = float(stats.ret_lo), float(stats.ret_hi)
 
     clip_cols: dict[str, Column] = {}
     for tf in cfg.resample_targets:
-        lo, hi = s1[f"axlo_{tf}"], s1[f"axhi_{tf}"]
+        lo, hi = ax_bounds.get(tf, (None, None))
         if lo is not None and hi is not None and hi > lo:
             clip_cols[f"_ax_{tf}"] = F.least(
                 F.greatest(F.col(f"_ax_{tf}"), F.lit(float(lo))), F.lit(float(hi))
             )
     if clip_cols:
         df = df.withColumns(clip_cols)
-    ret_lo = float(s1["ret_lo"]) if s1["ret_lo"] is not None else 0.0
-    ret_hi = float(s1["ret_hi"]) if s1["ret_hi"] is not None else 0.0
     df = df.withColumn(
         "_retc",
         F.least(F.greatest(F.col(ret_name), F.lit(ret_lo)), F.lit(ret_hi)),
@@ -218,23 +296,27 @@ def run_flagship(
         df = df.persist()  # rank stage feeds pass-2 stats AND the final select
 
     # pass-2 global stats: q95 of each fused atr rank (γ solve) + std of
-    # the winsorized return (population σ like np.std)
-    s2 = df.agg(
-        *[
-            pctl(f"_axf_{tf}", ATR_CALIB_P).alias(f"q_{tf}")
-            for tf in cfg.resample_targets
-        ],
-        F.stddev_pop("_retc").alias("ret_std"),
-    ).first()
+    # the winsorized return (population σ like np.std) — or train-time γ
+    if stats is None:
+        s2 = df.agg(
+            *[
+                pctl(f"_axf_{tf}", ATR_CALIB_P).alias(f"q_{tf}")
+                for tf in cfg.resample_targets
+            ],
+            F.stddev_pop("_retc").alias("ret_std"),
+        ).first()
 
-    gammas: dict[str, float] = {}
-    for tf in cfg.resample_targets:
-        q = s2[f"q_{tf}"]
-        q = min(max(float(q) if q is not None else 0.5, 1e-6), 1.0 - 1e-6)
-        gammas[tf] = 1.0 if abs(1.0 - q) < 1e-6 else max(
-            math.log(ATR_CALIB_TARGET) / math.log(q), 1e-6
-        )
-    ret_std = float(s2["ret_std"]) if s2["ret_std"] is not None else 0.0
+        gammas: dict[str, float] = {}
+        for tf in cfg.resample_targets:
+            q = s2[f"q_{tf}"]
+            q = min(max(float(q) if q is not None else 0.5, 1e-6), 1.0 - 1e-6)
+            gammas[tf] = 1.0 if abs(1.0 - q) < 1e-6 else max(
+                math.log(ATR_CALIB_TARGET) / math.log(q), 1e-6
+            )
+        ret_std = float(s2["ret_std"]) if s2["ret_std"] is not None else 0.0
+    else:
+        gammas = {tf: float(stats.gammas[tf]) for tf in cfg.resample_targets}
+        ret_std = float(stats.ret_std)
     tanh_scale = RET_TANH_FACTOR * max(ret_std, 1e-12)
 
     # round-6 lookup variant: engine-libm-independent (see timefeat.py),
@@ -280,7 +362,13 @@ def run_flagship(
         F.col("time_hour_sin"), F.col("time_hour_cos"),
         F.tanh(F.col("_retc") / F.lit(tanh_scale)).alias(ret_name),
     ]
-    return df.select(*sel)
+    out = df.select(*sel)
+    if return_stats:
+        return out, FlagshipStats(
+            ax_bounds=ax_bounds, ret_lo=ret_lo, ret_hi=ret_hi,
+            gammas=gammas, ret_std=ret_std,
+        )
+    return out
 
 
 def run_flagship_contract(

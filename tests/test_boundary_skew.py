@@ -253,12 +253,15 @@ def test_streaming_asof_matches_batch(spark, tmp_path, tol_s):
     assert got["r_matched_ts"].equals(want["r_matched_ts"])
 
 
-def test_streaming_asof_buffered_late_rights(spark, tmp_path):
+@pytest.mark.parametrize("delay_side", ["right", "both"])
+def test_streaming_asof_buffered_late_rights(spark, tmp_path, delay_side):
     """Watermark-buffered streaming as-of (r4): RIGHT rows arrive one
     micro-batch LATE (cross-batch event-time disorder, within the
     watermark delay) — output must still equal the batch as-of join,
-    which the carry-state variant cannot guarantee. A far-future right
-    sentinel advances the watermark so the finite replay flushes."""
+    which the carry-state variant cannot guarantee. delay_side="both"
+    additionally delays the LEFT stream by one batch relative to event
+    time, so neither side arrives in order. A far-future right sentinel
+    advances the watermark so the finite replay flushes."""
     import os as _os
 
     import pandas as pd
@@ -302,14 +305,18 @@ def test_streaming_asof_buffered_late_rights(spark, tmp_path):
         {"entity": ["A"], "ts": [t0 + pd.Timedelta(hours=100)], "rval": [0.0]}
     )
 
-    src = str(tmp_path / "buf_src")
+    src = str(tmp_path / f"buf_src_{delay_side}")
     empty_l = lpdf.iloc[:0]
     empty_r = rpdf.iloc[:0]
     mt = 1_700_000_000
     # batch i: lefts of hour i arrive ON TIME, rights of hour i arrive
     # one batch LATE (in batch i+1); two sentinel batches at the end
     for i in range(hours + 2):
-        lpiece = lparts[i] if i < hours else empty_l
+        if delay_side == "both":
+            # lefts also arrive one batch late (hour i lands in batch i+1)
+            lpiece = lparts[i - 1] if 1 <= i <= hours else empty_l
+        else:
+            lpiece = lparts[i] if i < hours else empty_l
         if i == 0:
             rpiece = empty_r
         elif i <= hours:
@@ -336,15 +343,15 @@ def test_streaming_asof_buffered_late_rights(spark, tmp_path):
     )
     q = (
         out.writeStream.format("memory")
-        .queryName("asof_buffered")
+        .queryName(f"asof_buffered_{delay_side}")
         .outputMode("append")
         .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "buf_ckpt"))
+        .option("checkpointLocation", str(tmp_path / f"buf_ckpt_{delay_side}"))
         .start()
     )
     assert q.awaitTermination(240)
     got = (
-        spark.sql("SELECT * FROM asof_buffered")
+        spark.sql(f"SELECT * FROM asof_buffered_{delay_side}")
         .toPandas()
         .sort_values(["entity", "ts", "lval"])
         .reset_index(drop=True)

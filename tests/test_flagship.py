@@ -243,3 +243,51 @@ def test_approx_percentiles_mode(spark):
         assert np.isnan(a).sum() == np.isnan(b).sum(), c
         # calibrated groups shift with the bounds; stay within 0.15 abs
         assert np.max(np.abs(a[m] - b[m]), initial=0.0) < 0.15, c
+
+
+def test_train_serve_stats_determinism(spark):
+    """SURVEY §7.3 hard part 5 (the reference's fixed_gamma discipline):
+    persisted train-time global stats drive serve-mode runs with zero
+    stats jobs, reproduce the training features bit-for-bit, and keep
+    historical features bit-identical when serving on EXTENDED data —
+    the offline/online consistency gate (reference README_RL2 §5),
+    which also re-proves zero temporal leakage end-to-end."""
+    from quant_feature_pipeline_spark.plans.flagship import FlagshipStats
+
+    full = make_bars_pdf(n=700, entities=("A", "B"), freq_s=60)
+    cut = full[full.ts < full.ts.quantile(0.8)].reset_index(drop=True)
+    train_bars = spark.createDataFrame(cut)
+
+    wide, stats = run_flagship(train_bars, CFG, return_stats=True)
+    train_pdf = wide.toPandas().sort_values(["entity", "ts"]).reset_index(drop=True)
+
+    # JSON round-trip must be exact (repr shortest-float)
+    stats2 = FlagshipStats.from_json(stats.to_json())
+    assert stats2 == stats
+
+    served = (
+        run_flagship(train_bars, CFG, stats=stats2)
+        .toPandas()
+        .sort_values(["entity", "ts"])
+        .reset_index(drop=True)
+    )
+    names = flagship_feature_names(CFG)
+    for c in names:
+        a, b = train_pdf[c].to_numpy(float), served[c].to_numpy(float)
+        assert np.array_equal(a, b, equal_nan=True), c
+
+    # serve on the FULL history with train stats: rows the training run
+    # saw must be bit-identical (backward-looking windows + fixed stats)
+    extended = (
+        run_flagship(spark.createDataFrame(full), CFG, stats=stats2)
+        .toPandas()
+        .sort_values(["entity", "ts"])
+        .reset_index(drop=True)
+    )
+    cut_ts = train_pdf["ts"].max()
+    hist = extended[extended.ts <= cut_ts].reset_index(drop=True)
+    assert len(hist) == len(train_pdf)
+    for c in names:
+        a = train_pdf[c].to_numpy(float)
+        b = hist[c].to_numpy(float)
+        assert np.array_equal(a, b, equal_nan=True), c
