@@ -451,7 +451,12 @@ def asof_join_hot_routed(
     both sides as semi/anti joins, and both branches are exact, so the
     union is exact. The measured crossover on the skew bench
     (bench.py _skew_bench: 20M-row hot entity, generic 14.0 s vs
-    bucketed 9.2 s) sits well above the default threshold."""
+    bucketed 9.2 s) sits well above the default threshold.
+
+    Cost note: each branch scans the left subtree (plus one scan for the
+    count table) — a parquet scan is cheap next to the join, but callers
+    whose LEFT is an expensive unpersisted plan should ``.persist()`` it
+    before routing, or pick a strategy explicitly."""
     hot = (
         left.groupBy(by)
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -252,7 +252,13 @@ def streaming_asof_buffered(
     is coming). Append one far-future RIGHT sentinel row at the end of
     the replay — it emits nothing itself, matches nothing real, and
     advances the watermark past every real left so the event-time
-    timeout flushes them (tests/test_streaming.py drives this).
+    timeout flushes them (tests/test_boundary_skew.py and the
+    streaming_asof_15m gate query drive this).
+
+    Buffers are pickled pandas frames (same-process, same-env replay
+    contract as any Spark state checkpoint); a long-lived production
+    deployment pinning exact library versions could swap Arrow IPC in
+    the same two binary columns.
     """
     lcols = [c for c in left_stream.columns if c not in (by, on)]
     vcols = [c for c in right_stream.columns if c not in (by, on)]
