@@ -690,6 +690,10 @@ def _write_bench_md(payload: dict) -> None:
             f"| {n_hi} x {EXEC_CORES} | {hi['sec']:.1f} | {hi.get('all_secs')} | {hi['rows_per_sec']:,.0f} |",
             f"\n- speedup N→4N executors: **{sc['speedup']}×**; efficiency (speedup/4): **{sc['efficiency_n_to_4n']}** (target ≥ 0.8); min-of-reps efficiency {sc.get('efficiency_n_to_4n_min')} (least co-tenant-contaminated rep per level)",
             f"- pure-CPU control on the same box (hash chain, no shuffle, median of {CTL_REPS}): efficiency **{sc.get('cpu_control_efficiency')}** ({sc.get('cpu_control_secs')}) — the VM's own parallel ceiling",
+            f"- **efficiency relative to the machine ceiling: {sc.get('efficiency_vs_machine_ceiling')}**",
+            "- this sandbox is a single shared-memory microVM: every executor shares ONE memory bus, so the",
+            "  shuffle/sort-bound fraction of the pipeline is bandwidth-limited at any executor count. On a real",
+            "  multi-node cluster each node brings its own memory bus and disks.",
         ]
         ph = sc.get("phase_breakdown", {})
         lo_p, hi_p = ph.get(f"exec{n_lo}", {}), ph.get(f"exec{n_hi}", {})
@@ -705,14 +709,7 @@ def _write_bench_md(payload: dict) -> None:
                 "\nphases hide the one-shot job's cross-stage overlap (independent per-tf stages fill idle cores),",
                 "so phase speedups sit below the one-shot speedup; the slice with the lowest speedup is the",
                 "shared-memory-bus-bound fraction.",
-        ]
-        lines += [
-            f"- **efficiency relative to the machine ceiling: {sc.get('efficiency_vs_machine_ceiling')}**",
-            "- this sandbox is a single shared-memory microVM: every executor shares ONE memory bus, so the",
-            "  shuffle/sort-bound fraction of the pipeline is bandwidth-limited at any executor count. On a real",
-            "  multi-node cluster each node brings its own memory bus and disks; the engine's stages already",
-            "  parallelize (per-stage task metrics show ~16x effective parallelism inside join stages at 16 cores).",
-        ]
+            ]
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
 

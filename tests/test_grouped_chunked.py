@@ -195,13 +195,19 @@ def test_asof_auto_routes_hot_entity(spark):
     right = spark.createDataFrame(
         pd.DataFrame(rrows, columns=["entity", "ts", "rval"])
     )
-    for direction in ("backward", "forward"):
+    for direction, tol in (
+        ("backward", None), ("forward", None), ("nearest", None), ("backward", 400)
+    ):
         want = _key(
-            asof_join(left, right, direction=direction, strategy="union_ffill").toPandas()
+            asof_join(
+                left, right, direction=direction, tolerance_s=tol,
+                strategy="union_ffill",
+            ).toPandas()
         )
         got = _key(
             asof_join(
-                left, right, direction=direction, strategy="auto", hot_rows=1_000
+                left, right, direction=direction, tolerance_s=tol,
+                strategy="auto", hot_rows=1_000,
             ).toPandas()
         )
-        assert got.equals(want), direction
+        assert got.equals(want), (direction, tol)
