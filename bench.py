@@ -400,9 +400,11 @@ def _flagship_approx_bench() -> dict:
         spark.catalog.clearCache()
         t0 = time.time()
         wide = run_flagship(bars, cfg, approx_percentiles=approx)
-        n = wide.agg(F.count(F.lit(1))).first()[0]
+        # noop sink, not count(): count would let Catalyst prune the
+        # final feature projection (same rationale as the token job)
+        wide.write.format("noop").mode("overwrite").save()
         res[f"{label}_sec"] = round(time.time() - t0, 2)
-        res["rows"] = n
+    res["rows"] = wide.agg(F.count(F.lit(1))).first()[0]
     spark.stop()
     return res
 
