@@ -145,8 +145,15 @@ def _token_phases(n_exec: int) -> dict:
     the plan — the published artifact behind the scaling work (VERDICT
     r3 item 1). Phase persists change WHAT is measured (no recompute
     across phases), so phase-total ≈ but != the one-shot job time; the
-    delta vs the one-shot run measures the unpersisted recompute."""
+    delta vs the one-shot run measures the unpersisted recompute.
+
+    r5: each phase also records its shuffle read/write bytes and total
+    executor task time via the UI REST API (per-stage deltas between
+    phase boundaries) — the printed artifact naming WHICH slice is
+    shuffle-bound (VERDICT r4 item 1)."""
+    import json as _json
     import shutil
+    import urllib.request
 
     from pyspark.sql import SparkSession
 
@@ -173,10 +180,30 @@ def _token_phases(n_exec: int) -> dict:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.executorEnv.PYTHONPATH", repo)
         .config("spark.local.dir", local_dir)
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "0")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _stage_totals() -> tuple[float, float, float]:
+        """(shuffle_read_mb, shuffle_write_mb, executor_run_s) across all
+        completed stages so far — REST API, version-stable."""
+        try:
+            url = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            stages = _json.load(
+                urllib.request.urlopen(f"{url}/api/v1/applications/{app}/stages")
+            )
+            return (
+                sum(s["shuffleReadBytes"] for s in stages) / 1e6,
+                sum(s["shuffleWriteBytes"] for s in stages) / 1e6,
+                sum(s["executorRunTime"] for s in stages) / 1e3,
+            )
+        except Exception:  # noqa: BLE001 — telemetry must never kill the bench
+            return (0.0, 0.0, 0.0)
+
     tok = synth_token_table(spark, n_entities=TOKEN_ENTITIES, minutes=TOKEN_MINUTES)
     bars = bars_from_tokens(tok).select(
         "entity", "ts", "open", "high", "low", "close", "volume"
@@ -190,26 +217,38 @@ def _token_phases(n_exec: int) -> dict:
 
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     bars = bars.repartition(parts, "entity")
+    marks = {"_start": _stage_totals()}
+
     t0 = time.time()
     tfs = resample_all(bars, cfg, persist=True)
     for df in tfs.values():
         df.count()
     res["resample_s"] = round(time.time() - t0, 2)
+    marks["resample"] = _stage_totals()
 
     t0 = time.time()
-    inds = {tf: indicator_table(df, cfg).persist() for tf, df in tfs.items()}
+    inds = {tf: indicator_table(df, cfg, prepartitioned=True).persist() for tf, df in tfs.items()}
     for df in inds.values():
         df.count()
     res["indicators_s"] = round(time.time() - t0, 2)
+    marks["indicators"] = _stage_totals()
 
     t0 = time.time()
     merged = merge_timeframes(tfs[cfg.resample_targets[0]], inds, cfg)
     feat = feature_table(merged, cfg)
     feat.write.format("noop").mode("overwrite").save()
     res["merge_features_s"] = round(time.time() - t0, 2)
+    marks["merge_features"] = _stage_totals()
     res["phase_total_s"] = round(
         res["resample_s"] + res["indicators_s"] + res["merge_features_s"], 2
     )
+    order = ["_start", "resample", "indicators", "merge_features"]
+    for prev, cur in zip(order, order[1:]):
+        r0, w0, t0_ = marks[prev]
+        r1, w1, t1_ = marks[cur]
+        res[f"{cur}_shuffle_read_mb"] = round(r1 - r0, 1)
+        res[f"{cur}_shuffle_write_mb"] = round(w1 - w0, 1)
+        res[f"{cur}_task_time_s"] = round(t1_ - t0_, 1)
     spark.stop()
     shutil.rmtree(path, ignore_errors=True)
     return res
@@ -567,6 +606,9 @@ def _skew_bench() -> dict:
     for strat, fn in (
         ("union_ffill", lambda: asof_join(left, right, by="entity", strategy="union_ffill")),
         ("bucketed", lambda: asof_join_bucketed(left, right, by="entity", bucket_s=900)),
+        # the DEFAULT entry point (strategy="auto" since r5): hot entity
+        # must route to the bucketed path with no caller opt-in
+        ("auto_default", lambda: asof_join(left, right, by="entity", bucket_s=900)),
     ):
         out = fn()
         t = time.time()
@@ -578,6 +620,156 @@ def _skew_bench() -> dict:
 
     shutil.rmtree(lp, ignore_errors=True)
     shutil.rmtree(rp, ignore_errors=True)
+    return res
+
+
+def _ivf_serve_bench() -> dict:
+    """Train-once/serve-many for the IVF quantizer (VERDICT r4 item 3):
+    first run Lloyd-trains in-query and persists the centroid artifact;
+    serve mode loads it and skips every training pass. Results must be
+    identical."""
+    import shutil
+    import tempfile
+
+    from quant_feature_pipeline_spark.session import get_spark
+    from quant_feature_pipeline_spark.textops.similarity import (
+        ivf_topk,
+        ivf_train_or_load,
+    )
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        app_name="bench-ivf-serve", cpus=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tmp = tempfile.mkdtemp(prefix="ivf_serve_")
+    path = f"{tmp}/centroids.json"
+    res = {}
+    outs = {}
+    for label in ("train_first", "serve"):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        cents = ivf_train_or_load(emb, path, n_cells=16, dim=dim, iters=3)
+        out = ivf_topk(
+            emb, q, k=3, nprobe=4, dim=dim, centroids=cents
+        ).orderBy("query_id", "rank")
+        outs[label] = [tuple(r) for r in out.collect()]
+        res[f"{label}_sec"] = round(time.time() - t0, 2)
+    res["identical"] = outs["train_first"] == outs["serve"]
+    res["speedup_serve"] = round(res["train_first_sec"] / res["serve_sec"], 2)
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+def _asof_tolerance_explain_bench() -> dict:
+    """The headline `asof_tolerance` query deliberately runs the
+    range-BUCKETED strategy (gate strategy coverage), which VERDICT r4
+    read as tolerance-predicate overhead. Control experiment: the same
+    tolerance join on every strategy, warm (2nd run), same noop sink —
+    showing the tolerance predicate itself is ~free on union_ffill and
+    the delta is the bucketed plan's price for intra-entity parallelism."""
+    import __spark_entry__ as entrymod
+    from quant_feature_pipeline_spark.operators.asof import asof_join
+    from quant_feature_pipeline_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-asof-tol", cpus=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    from pyspark.sql import functions as F
+
+    left = entrymod._t(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = entrymod._axis_15m(spark, SF_DIR)
+    res = {}
+    for label, kw in (
+        ("union_ffill_no_tol", {"strategy": "union_ffill"}),
+        ("union_ffill_tol", {"strategy": "union_ffill", "tolerance_s": 600}),
+        ("bucketed_tol", {"strategy": "bucketed", "tolerance_s": 600}),
+    ):
+        df = asof_join(left, right, by="user_id", **kw)
+        df.write.format("noop").mode("overwrite").save()  # warm-up run
+        t0 = time.time()
+        asof_join(left, right, by="user_id", **kw).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        res[f"{label}_warm_sec"] = round(time.time() - t0, 3)
+    spark.stop()
+    return res
+
+
+def _grid_profile_bench() -> dict:
+    """Split grid_ffill_5m's cost (VERDICT r4 item 6): the exploded
+    grid+join WITHOUT the ffill window vs the full query, both through
+    the noop sink warm — isolating what the 12.6M-row window sort
+    actually costs vs pure materialization."""
+    import __spark_entry__ as entrymod
+    from quant_feature_pipeline_spark.operators.resample import resample_ohlcv
+    from quant_feature_pipeline_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        app_name="bench-grid", cpus=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    ev = entrymod._t(spark, SF_DIR, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 5 MINUTES"))).alias("ts"),
+    )
+    last_val = resample_ohlcv(entrymod._ticks(spark, SF_DIR), "5m", by="user_id").select(
+        "user_id", "ts", F.col("close").alias("val")
+    )
+    no_window = grid.join(last_val, ["user_id", "ts"], "left")
+    res = {}
+    qs = entrymod.queries()
+    for label, df_fn in (
+        ("join_only", lambda: no_window),
+        ("full_query", lambda: qs["grid_ffill_5m"](spark, SF_DIR)),
+    ):
+        df_fn().write.format("noop").mode("overwrite").save()  # warm-up
+        t0 = time.time()
+        df_fn().write.format("noop").mode("overwrite").save()
+        res[f"{label}_warm_sec"] = round(time.time() - t0, 3)
+    res["window_cost_sec"] = round(
+        res["full_query_warm_sec"] - res["join_only_warm_sec"], 3
+    )
+    spark.stop()
+    return res
+
+
+def _streaming_state_bench() -> dict:
+    """Run the three streaming gate queries and surface their state-store
+    telemetry (rows/memory from lastProgress.stateOperators) so streaming
+    state growth is tracked round-over-round (VERDICT r4 item 7)."""
+    import __spark_entry__ as entrymod
+    from quant_feature_pipeline_spark.session import get_spark
+    from quant_feature_pipeline_spark.streaming import micro
+
+    spark = get_spark(
+        app_name="bench-streaming-state", cpus=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = entrymod.queries()
+    res = {}
+    for name in ("streaming_resample_15m", "streaming_sessions", "streaming_asof_15m"):
+        micro.LAST_PROGRESS.clear()
+        t0 = time.time()
+        rows = qs[name](spark, SF_DIR).count()
+        sec = round(time.time() - t0, 2)
+        prog = next(iter(micro.LAST_PROGRESS.values()), {})
+        res[name] = {"sec": sec, "rows": rows, **prog}
+    spark.stop()
     return res
 
 
@@ -659,6 +851,7 @@ def _write_bench_md(payload: dict) -> None:
             f"- input: {sk['left_rows']:,} left rows, {sk['hot_rows']:,} of them on ONE entity; same 15m right axis",
             f"- generic as-of (entity-partitioned sort; hot entity = one straggler task): **{sk['union_ffill_sec']} s**",
             f"- range-bucketed as-of (hot entity split across time buckets): **{sk['bucketed_sec']} s** → {sk['speedup_bucketed']}x",
+            f"- DEFAULT entry point `asof_join(left, right)` (strategy=\"auto\", r5): **{sk.get('auto_default_sec', '—')} s** — hot entity auto-routes to the bucketed path, cold entities stay on union_ffill",
             "- identical join results (tests/test_asof.py cross-checks all strategies); salting covers the groupBy side (salted_agg query)",
         ]
     ck = payload.get("chunked_recurrence", {})
@@ -677,6 +870,42 @@ def _write_bench_md(payload: dict) -> None:
             f"- exact `F.percentile` (full sort per stat pass, byte-exact oracle mode): **{fa['exact_sec']} s**",
             f"- `approx_percentiles=True` (`percentile_approx` KLL sketch, one streaming pass — the 100 TB path): **{fa['approx_sec']} s**",
             "- health gate stays green in approx mode; features shift only through the winsor/clip bounds (tests/test_flagship.py)",
+        ]
+    ivs = payload.get("ivf_serve", {})
+    if "serve_sec" in ivs:
+        lines += [
+            "\n## IVF quantizer: train-once / serve-many (persisted centroid artifact)\n",
+            f"- first run (Lloyd-trains in-query, persists centroids): **{ivs['train_first_sec']} s**",
+            f"- serve run (loads artifact, skips all training passes): **{ivs['serve_sec']} s** → {ivs['speedup_serve']}x",
+            f"- top-k results identical across modes: **{ivs['identical']}**",
+        ]
+    ate = payload.get("asof_tolerance_explain", {})
+    if "bucketed_tol_warm_sec" in ate:
+        lines += [
+            "\n## asof_tolerance headline cost, explained (VERDICT r4 item 5)\n",
+            "The headline `asof_tolerance` query runs the range-BUCKETED strategy on purpose (gate",
+            "strategy coverage) — the tolerance predicate itself is ~free. Same join, warm, per strategy:\n",
+            f"- union_ffill, no tolerance: **{ate['union_ffill_no_tol_warm_sec']} s**",
+            f"- union_ffill + tolerance_s=600: **{ate['union_ffill_tol_warm_sec']} s** (the predicate costs the difference)",
+            f"- bucketed + tolerance_s=600 (the headline's plan): **{ate['bucketed_tol_warm_sec']} s** — the delta is the bucketed plan's candidate-union + per-row argmin, the price of intra-entity parallelism, worth paying only on hot entities (which is exactly when strategy='auto' picks it)",
+        ]
+    gp = payload.get("grid_profile", {})
+    if "window_cost_sec" in gp:
+        lines += [
+            "\n## grid_ffill_5m cost split (VERDICT r4 item 6)\n",
+            f"- grid explode + join, NO ffill window (pure materialization): **{gp['join_only_warm_sec']} s** warm",
+            f"- full query (adds the 12.6M-row ffill window): **{gp['full_query_warm_sec']} s** warm",
+            f"- → the window sort itself costs **{gp['window_cost_sec']} s**",
+        ]
+    ss = payload.get("streaming_state", {})
+    if ss and all(isinstance(v, dict) and "sec" in v for v in ss.values()):
+        lines += [
+            "\n## Streaming gate queries: state-store telemetry (VERDICT r4 item 7)\n",
+            "| query | sec | out rows | batches | final state rows | max state rows | max state MB |",
+            "|---|---|---|---|---|---|---|",
+        ] + [
+            f"| {k} | {v['sec']} | {v['rows']} | {v.get('batches','—')} | {v.get('final_state_rows','—')} | {v.get('max_state_rows','—')} | {round(v.get('max_state_memory_bytes',0)/1e6,1)} |"
+            for k, v in ss.items()
         ]
     if tp:
         lines += [
@@ -706,12 +935,22 @@ def _write_bench_md(payload: dict) -> None:
         ph = sc.get("phase_breakdown", {})
         lo_p, hi_p = ph.get(f"exec{n_lo}", {}), ph.get(f"exec{n_hi}", {})
         if "phase_total_s" in lo_p and "phase_total_s" in hi_p:
+            def _split(p, key):
+                base = key.removesuffix("_s")
+                sr = p.get(f"{base}_shuffle_read_mb")
+                sw = p.get(f"{base}_shuffle_write_mb")
+                tt = p.get(f"{base}_task_time_s")
+                if sr is None:
+                    return "—"
+                return f"{sr + sw:.0f} MB / {tt} s"
+
             lines += [
                 "\n### Per-phase breakdown (one run per level, phases forced sequential with persists)\n",
-                "| phase | N sec | 4N sec | speedup |",
-                "|---|---|---|---|",
+                "shuffle = read+write bytes crossing the exchange in that phase; task = summed executor task time (REST API per-stage deltas)\n",
+                "| phase | N sec | 4N sec | speedup | N shuffle/task | 4N shuffle/task |",
+                "|---|---|---|---|---|---|",
             ] + [
-                f"| {k} | {lo_p[k]} | {hi_p[k]} | {round(lo_p[k]/hi_p[k],2) if hi_p[k] else '—'}× |"
+                f"| {k} | {lo_p[k]} | {hi_p[k]} | {round(lo_p[k]/hi_p[k],2) if hi_p[k] else '—'}× | {_split(lo_p, k)} | {_split(hi_p, k)} |"
                 for k in ("resample_s", "indicators_s", "merge_features_s", "phase_total_s")
             ] + [
                 "\nphases hide the one-shot job's cross-stage overlap (independent per-tf stages fill idle cores),",
@@ -759,6 +998,22 @@ def main() -> None:
             payload["flagship_approx"] = _flagship_approx_bench()
         except Exception as exc:  # noqa: BLE001
             payload["flagship_approx"] = {"error": repr(exc)[:500]}
+        try:
+            payload["ivf_serve"] = _ivf_serve_bench()
+        except Exception as exc:  # noqa: BLE001
+            payload["ivf_serve"] = {"error": repr(exc)[:500]}
+        try:
+            payload["asof_tolerance_explain"] = _asof_tolerance_explain_bench()
+        except Exception as exc:  # noqa: BLE001
+            payload["asof_tolerance_explain"] = {"error": repr(exc)[:500]}
+        try:
+            payload["grid_profile"] = _grid_profile_bench()
+        except Exception as exc:  # noqa: BLE001
+            payload["grid_profile"] = {"error": repr(exc)[:500]}
+        try:
+            payload["streaming_state"] = _streaming_state_bench()
+        except Exception as exc:  # noqa: BLE001
+            payload["streaming_state"] = {"error": repr(exc)[:500]}
         try:
             scaling = _scaling()
         except Exception as exc:  # noqa: BLE001

@@ -75,8 +75,30 @@ def grouped_apply(
     auto_chunk_rows: int | None = 1_048_576,
     chunk_rows: int = 262_144,
     warmup_rows: int = 4_096,
+    lookback_rows: int | None = None,
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """One Arrow stage over entity-hash partitions; see module docstring.
+
+    ``lookback_rows`` declares the kernel's EXACT finite history
+    requirement (e.g. a rolling-rank window): auto-chunking replays
+    ``max(warmup_rows, lookback_rows)`` rows of history per slice, so a
+    hard-windowed kernel stays bit-exact no matter how its window
+    compares to the default warm-up (ADVICE r4: a window > warmup_rows
+    silently corrupted boundary rows for entities above auto_chunk_rows).
+    Leave it None for infinite-decay recurrences, where warmup_rows is a
+    ulp-convergence bound rather than an exactness requirement.
+
+    ``prepartitioned=True`` skips the hash repartition: the CALLER
+    asserts every group's rows already live in one partition (e.g. the
+    pipeline's single up-front ``repartition(parts, entity)``, whose
+    hash layout every downstream agg/window preserves under subset-key
+    co-partitioning). Spark does NOT elide an explicit redundant
+    RepartitionByExpression, so without this flag each grouped Arrow
+    stage re-shuffles rows that are already correctly placed (r5
+    scaling work). Passing True on input that is NOT group-complete
+    per partition silently corrupts results — internal pipeline use
+    only.
 
     Huge-entity auto-dispatch (ADVICE r3 — previously callers had to
     opt into chunked execution to avoid the whole-entity pandas memory
@@ -94,6 +116,7 @@ def grouped_apply(
     which range-splits the entity across the cluster."""
     cols = [f.name for f in schema.fields]
     local_chunking = ts_col is not None and auto_chunk_rows is not None
+    eff_warmup = max(warmup_rows, lookback_rows or 0)
 
     def run_group(g: pd.DataFrame) -> Iterator[pd.DataFrame]:
         if not local_chunking or len(g) <= auto_chunk_rows:
@@ -104,7 +127,7 @@ def grouped_apply(
         # positional warm-row slice below stays row-aligned
         g = g.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
         for start in range(0, len(g), chunk_rows):
-            lo = max(0, start - warmup_rows)
+            lo = max(0, start - eff_warmup)
             piece = g.iloc[lo : start + chunk_rows].reset_index(drop=True)
             out = fn(piece)
             if len(out) != len(piece):
@@ -140,6 +163,8 @@ def grouped_apply(
             metrics.groups.add(n_groups)
             metrics.busy_s.add(time.time() - t0)
 
+    if prepartitioned:
+        return df.mapInPandas(run, schema=schema)
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(parts, by).mapInPandas(run, schema=schema)
 
@@ -153,9 +178,16 @@ def grouped_apply_chunked(
     chunk_rows: int = 262_144,
     warmup_rows: int = 4_096,
     num_partitions: int | None = None,
+    lookback_rows: int | None = None,
 ) -> DataFrame:
     """grouped_apply for HUGE entities: no task ever buffers a whole
     entity history in pandas.
+
+    ``lookback_rows``: the kernel's exact finite history requirement —
+    the effective warm-up becomes ``max(warmup_rows, lookback_rows)``
+    and the call FAILS LOUDLY when chunk_rows cannot cover it (warm rows
+    replicate only from the immediately preceding chunk), instead of
+    silently corrupting boundary rows (ADVICE r4).
 
     Each entity's ts-ordered rows are split into ``chunk_rows`` chunks;
     the last ``warmup_rows`` rows of every chunk are REPLICATED into the
@@ -182,10 +214,13 @@ def grouped_apply_chunked(
     (by, chunk), not (by): a downstream per-entity window or join will
     re-exchange — use plain grouped_apply when entities fit in memory.
     """
+    warmup_rows = max(warmup_rows, lookback_rows or 0)
     if warmup_rows > chunk_rows:
         raise ValueError(
-            f"warmup_rows ({warmup_rows}) must be <= chunk_rows ({chunk_rows}): "
-            "warm rows replicate only from the immediately preceding chunk"
+            f"effective warm-up ({warmup_rows} rows, incl. lookback_rows="
+            f"{lookback_rows}) must be <= chunk_rows ({chunk_rows}): warm rows "
+            "replicate only from the immediately preceding chunk — raise "
+            "chunk_rows to at least the kernel's lookback"
         )
     cols = [f.name for f in schema.fields]
     helper = ["_rn", "_ck", "_warm"]

@@ -78,7 +78,9 @@ def rolling_percentile_rank(
 
     from .grouped import grouped_apply
 
-    return grouped_apply(df, by, fn, schema, ts_col=ts_col)
+    # lookback_rows: rank is a HARD window — auto-chunking must replay
+    # >= window-1 rows or boundary rows silently corrupt (ADVICE r4)
+    return grouped_apply(df, by, fn, schema, ts_col=ts_col, lookback_rows=window)
 
 
 def rolling_rank_multi(
@@ -108,7 +110,10 @@ def rolling_rank_multi(
 
     from .grouped import grouped_apply
 
-    return grouped_apply(df, by, fn, schema, ts_col=ts_col)
+    return grouped_apply(
+        df, by, fn, schema, ts_col=ts_col,
+        lookback_rows=max(w for _, w, _, _ in specs),
+    )
 
 
 def fused_rank(
@@ -137,4 +142,7 @@ def fused_rank(
 
     from .grouped import grouped_apply
 
-    return grouped_apply(df, by, fn, schema, ts_col=ts_col)
+    return grouped_apply(
+        df, by, fn, schema, ts_col=ts_col,
+        lookback_rows=max(fast_window, slow_window),
+    )

@@ -200,6 +200,7 @@ def compute_recurrence_indicators(
     metrics=None,
     auto_chunk_rows: int | None = 1_048_576,
     local_chunk_rows: int = 262_144,
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """Runs as grouped_apply (explicit hash repartition + mapInPandas),
     NOT groupBy().applyInPandas: FlatMapGroupsInPandas reports unknown
@@ -230,8 +231,11 @@ def compute_recurrence_indicators(
         )
     # ts_col enables the local huge-entity auto-chunking inside the
     # Arrow task (bounded fn working set, no caller opt-in; grouped.py)
+    # prepartitioned: caller guarantees entity-complete partitions (the
+    # pipeline's one up-front repartition) — skips this stage's shuffle
     return grouped_apply(
         bars, by, fn, out_schema, metrics=metrics,
         ts_col=ts_col, warmup_rows=warmup_rows,
         auto_chunk_rows=auto_chunk_rows, chunk_rows=local_chunk_rows,
+        prepartitioned=prepartitioned,
     )

@@ -36,15 +36,28 @@ OHLCV = ("open", "high", "low", "close", "volume")
 
 
 def indicator_table(
-    bars_tf: DataFrame, cfg: PipelineConfig, by: str = "entity", ts_col: str = "ts"
+    bars_tf: DataFrame,
+    cfg: PipelineConfig,
+    by: str = "entity",
+    ts_col: str = "ts",
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """Step3 equivalent: full indicator set for one timeframe table.
 
     The recurrence Arrow stage runs FIRST, on the narrow bar frame — the
     window indicators are pure Catalyst expressions layered on its
     output, so the ~20 sma/bb/roc/rv columns never pay the
-    Arrow serialize/deserialize round-trip."""
-    df = compute_recurrence_indicators(bars_tf, cfg, by=by, ts_col=ts_col)
+    Arrow serialize/deserialize round-trip.
+
+    ``prepartitioned``: the input is already hash-partitioned by ``by``
+    with every entity's rows in one partition (run_pipeline's up-front
+    repartition, preserved through the resample aggs) — the recurrence
+    Arrow stage then skips its own repartition (r5: Spark does not elide
+    an explicit redundant RepartitionByExpression, so this was one full
+    extra shuffle per timeframe)."""
+    df = compute_recurrence_indicators(
+        bars_tf, cfg, by=by, ts_col=ts_col, prepartitioned=prepartitioned
+    )
     df = sma(df, cfg.sma_windows, by=by, ts_col=ts_col)
     df = bollinger_width(df, cfg.bb_window, cfg.bb_std, by=by, ts_col=ts_col)
     df = roc_momentum(df, cfg.mom_window, by=by, ts_col=ts_col)
@@ -219,6 +232,7 @@ def run_pipeline(
     ts_col: str = "ts",
     asof_strategy: str = "multi",
     persist_stages: bool = True,
+    input_partitioned: bool = False,
 ) -> DataFrame:
     """bars(1-row-per-base-step) → wide feature table on the base axis.
 
@@ -242,8 +256,13 @@ def run_pipeline(
     -18% wall, 124 -> 95 exchange nodes on the 4-tf token job).
     """
     cfg = cfg or PipelineConfig()
-    parts = int(bars.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    bars = bars.repartition(parts, by)
+    if not input_partitioned:
+        parts = int(bars.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        bars = bars.repartition(parts, by)
+    # ``input_partitioned=True``: the caller's input is ALREADY hash-
+    # distributed by ``by`` (e.g. a bucketed table scan, sink.py
+    # write_bucketed_table) — the up-front exchange is skipped and the
+    # scan's layout plays the role of the repartition below.
     tfs = resample_all(bars, cfg, by=by, ts_col=ts_col, persist=persist_stages)
     base = tfs[cfg.resample_targets[0]]
     # base log return on the NARROW axis (7 cols) — feature_table would
@@ -253,7 +272,10 @@ def run_pipeline(
         base, src="close", out=f"ret_{cfg.resample_targets[0]}_log", by=by, ts_col=ts_col
     )
     inds = {
-        tf: indicator_table(df, cfg, by=by, ts_col=ts_col)
+        # the tf tables inherit the entity hash layout (subset-key
+        # distribution satisfaction leaves agg output partitioning at
+        # hash(entity)) — every recurrence stage skips its repartition
+        tf: indicator_table(df, cfg, by=by, ts_col=ts_col, prepartitioned=True)
         for tf, df in tfs.items()
     }
     merged = merge_timeframes(

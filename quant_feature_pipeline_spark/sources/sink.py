@@ -64,3 +64,41 @@ def bucket_column(df: DataFrame, col: str = "entity", buckets: int = 64):
     """Stable bucket id for partitioned layout (co-locates an entity's
     history; bounded file count at high entity cardinality)."""
     return df.withColumn("_bucket", F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int"))
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    by: str = "entity",
+    sort_cols: tuple[str, ...] = ("entity", "ts"),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write ``df`` as a REAL Spark bucketed table and return its scan.
+
+    Unlike ``bucket_column`` (a directory-layout hint), ``bucketBy``
+    records the hash layout in the catalog: the returned scan reports
+    ``HashPartitioning(by, buckets)``, so every downstream
+    groupBy/window/join clustered on ``by`` (or, under subset-key
+    co-partitioning, on a superset like ``(by, ts)``) starts WITHOUT an
+    exchange — the 100 TB ingest contract (write once bucketed, every
+    later pipeline run skips the first full-data shuffle; r5 scaling
+    work, VERDICT r4 item 1). The pre-write ``repartition(buckets, by)``
+    aligns task hash with bucket hash (both Murmur3 pmod buckets), so
+    each task holds exactly one bucket -> ONE file per bucket.
+
+    The Iceberg analog is a ``bucket(N, entity)`` partition transform on
+    the table spec (plans/checkpoint.py documents the mapping)."""
+    spark = df.sparkSession
+    writer = (
+        df.repartition(buckets, by)
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, by)
+        .sortBy(*sort_cols)
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)
+    return spark.table(name)

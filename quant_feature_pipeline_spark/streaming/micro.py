@@ -60,6 +60,13 @@ def streaming_resample(
     )
 
 
+# last-run telemetry per memory-sink query name: batch count + the final
+# trigger's stateOperators (rows/memory) and the max memory seen across
+# batches — the state-growth surface BENCH.md publishes per round
+# (VERDICT r4 item 7). Telemetry only; never read by the queries.
+LAST_PROGRESS: dict[str, dict] = {}
+
+
 def run_stream_to_table(
     stream_df: DataFrame,
     table_name: str,
@@ -82,6 +89,22 @@ def run_stream_to_table(
     # running — a caller reading the memory table then would see a
     # partially-filled result and silently pass it downstream. Fail loud.
     finished = q.awaitTermination(timeout_s)
+    prog = [p for p in q.recentProgress if p]
+    if prog:
+        ops = prog[-1].get("stateOperators") or []
+        LAST_PROGRESS[table_name] = {
+            "batches": len(prog),
+            "final_state_rows": sum(o.get("numRowsTotal", 0) for o in ops),
+            "max_state_rows": max(
+                sum(o.get("numRowsTotal", 0) for o in (p.get("stateOperators") or []))
+                for p in prog
+            ),
+            "max_state_memory_bytes": max(
+                sum(o.get("memoryUsedBytes", 0) for o in (p.get("stateOperators") or []))
+                for p in prog
+            ),
+            "operators": [o.get("operatorName", "?") for o in ops],
+        }
     if not finished:
         q.stop()
         raise TimeoutError(

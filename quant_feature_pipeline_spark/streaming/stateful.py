@@ -228,6 +228,9 @@ def streaming_asof_buffered(
     tolerance_s: float | None = None,
     right_prefix: str = "",
     watermark: str = "10 minutes",
+    max_held_rows: int | None = 10_000_000,
+    held_rows_acc=None,
+    idle_right_ttl_s: float | None = None,
 ) -> DataFrame:
     """Watermark-buffered streaming backward as-of join — EXACT event-time
     semantics under cross-batch disorder (VERDICT r3 item 2; the fast
@@ -259,6 +262,34 @@ def streaming_asof_buffered(
     contract as any Spark state checkpoint); a long-lived production
     deployment pinning exact library versions could swap Arrow IPC in
     the same two binary columns.
+
+    State-size contract (VERDICT r4 item 2 — correctness held for any
+    watermark, but a misconfigured LARGE watermark had an unbounded-
+    state failure mode with no guard or metric):
+
+    - Steady state per entity is O(rows inside the watermark window):
+      held lefts drain every time the watermark advances past them, and
+      the right buffer keeps only the newest at-or-below-watermark row
+      plus above-watermark rows.
+    - ``max_held_rows``: HARD per-entity cap on (held lefts + buffered
+      rights) after each batch — exceeding it FAILS LOUDLY with the
+      observed counts instead of silently pickling an ever-growing
+      frame. Size it to arrival_rate x watermark with headroom.
+    - ``held_rows_acc``: optional Spark accumulator; every (entity,
+      batch) state update adds its post-batch buffered row count, so
+      acc.value / batches ~= mean buffered rows — the state-growth
+      telemetry surfaced in BENCH.md. At-least-once semantics (added in
+      a transformation), telemetry only.
+    - Idle entities (ADVICE r4): a group holding only rights used to
+      keep them forever once lefts stopped arriving (no timeout armed,
+      rows above the watermark never re-pruned). Now a rights-only
+      group arms an event-time timeout past its newest right, so the
+      next wake re-prunes it down to the single newest candidate row —
+      O(1) per idle entity, still exact for any future left.
+      ``idle_right_ttl_s`` optionally expires even that candidate after
+      the watermark passes it by the TTL (state fully removed; a left
+      arriving later than the TTL then gets a null match — an explicit
+      retention trade, off by default).
     """
     lcols = [c for c in left_stream.columns if c not in (by, on)]
     vcols = [c for c in right_stream.columns if c not in (by, on)]
@@ -354,6 +385,27 @@ def streaming_asof_buffered(
             older = rights[rights[on] <= wm]
             if len(older):
                 rights = rights[rights[on] >= older[on].max()]
+        if (
+            idle_right_ttl_s is not None
+            and not len(held)
+            and len(rights)
+        ):
+            # opt-in retention cut: expire candidates the watermark has
+            # passed by more than the TTL (idle entity, no lefts held)
+            cutoff = wm - pd.Timedelta(seconds=idle_right_ttl_s)
+            rights = rights[rights[on] >= cutoff]
+        n_state = len(held) + len(rights)
+        if held_rows_acc is not None:
+            held_rows_acc.add(int(n_state))
+        if max_held_rows is not None and n_state > max_held_rows:
+            raise ValueError(
+                f"streaming_asof_buffered: entity {key[0]!r} buffers "
+                f"{n_state} rows ({len(held)} held lefts + {len(rights)} "
+                f"rights) > max_held_rows={max_held_rows}. The watermark "
+                f"({watermark!r}) is too large for this arrival rate — "
+                "shrink it, raise max_held_rows, or use the in-order "
+                "carry-state variant (streaming_asof_backward)"
+            )
         if len(held) or len(rights):
             state.update(
                 (
@@ -365,6 +417,15 @@ def streaming_asof_buffered(
                 # flush as soon as the watermark passes the earliest
                 # held left (must arm strictly above the current wm)
                 t = int(held[on].min().value // 1_000_000) + 1
+                state.setTimeoutTimestamp(max(t, wm_ms + 1))
+            elif len(rights) > 1 or idle_right_ttl_s is not None:
+                # rights-only group (ADVICE r4): arm a wake so the
+                # buffer re-prunes as the watermark advances — down to
+                # ONE candidate row, or to zero under the TTL. A single
+                # candidate with no TTL stays without a timer (O(1)).
+                t = int(rights[on].max().value // 1_000_000) + 1
+                if idle_right_ttl_s is not None:
+                    t += int(idle_right_ttl_s * 1000)
                 state.setTimeoutTimestamp(max(t, wm_ms + 1))
         else:
             state.remove()

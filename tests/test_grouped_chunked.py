@@ -93,11 +93,64 @@ def test_chunked_rejects_warmup_larger_than_chunk(spark):
     from pyspark.sql import types as T
 
     df = spark.createDataFrame(make_bars_pdf(n=10, entities=("A",)))
-    with pytest.raises(ValueError, match="warmup_rows"):
+    with pytest.raises(ValueError, match="warm-up"):
         grouped_apply_chunked(
             df, "entity", "ts", lambda g: g, df.schema,
             chunk_rows=10, warmup_rows=11,
         )
+    # same guard for a kernel-declared lookback (ADVICE r4): a hard
+    # window the chunk size cannot cover must fail loudly
+    with pytest.raises(ValueError, match="lookback"):
+        grouped_apply_chunked(
+            df, "entity", "ts", lambda g: g, df.schema,
+            chunk_rows=10, warmup_rows=5, lookback_rows=11,
+        )
+
+
+def test_rank_window_larger_than_warmup_exact_under_auto_chunking(spark):
+    """ADVICE r4 (high): rolling rank with window > warmup_rows was
+    silently corrupted at chunk boundaries for entities above
+    auto_chunk_rows. The fix passes the kernel window as lookback_rows,
+    which bumps the replayed history — result must be BIT-identical to
+    the unchunked path even with warmup_rows far below the window."""
+    from quant_feature_pipeline_spark.functions.rank import rolling_rank_series
+    from pyspark.sql import types as T
+
+    pdf = make_bars_pdf(n=4_000, entities=("HUGE", "T"))
+    pdf = pdf[(pdf.entity == "HUGE") | (pdf.index % 37 == 0)].reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    window = 300  # >> the warmup_rows=64 below: old code corrupted here
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("rk", T.DoubleType(), True)]
+    )
+    cols = [f.name for f in schema.fields]
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        g["rk"] = rolling_rank_series(g["close"], window)
+        return g[cols]
+
+    want = _key(
+        grouped_apply(df, "entity", fn, schema, ts_col="ts",
+                      auto_chunk_rows=None).toPandas()
+    )
+    got = _key(
+        grouped_apply(
+            df, "entity", fn, schema, ts_col="ts",
+            auto_chunk_rows=1_000, chunk_rows=500, warmup_rows=64,
+            lookback_rows=window,
+        ).toPandas()
+    )
+    assert len(got) == len(want) == len(pdf)
+    a, b = got["rk"].to_numpy(), want["rk"].to_numpy()
+    assert np.array_equal(a, b, equal_nan=True)
+    # and the public entry point wires the lookback itself
+    from quant_feature_pipeline_spark.functions.rank import rolling_percentile_rank
+
+    via_api = _key(
+        rolling_percentile_rank(df, "close", window, out="rk").toPandas()
+    )
+    assert np.array_equal(via_api["rk"].to_numpy(), b, equal_nan=True)
 
 
 def test_stage_metrics_accumulators(spark):
