@@ -106,3 +106,63 @@ def test_lead_shift(spark):
         g["close_lead2"] = g["close"].shift(-2)
         out.append(g)
     assert_frame_close(got, pd.concat(out)[got.columns], keys=["entity", "ts"])
+
+
+def test_grid_fill_ranges_matches_join_ffill(spark):
+    """grid_fill_ranges (per-bar range explode, O(bars) window) must be
+    row-identical to the grid-join + ffill formulation (O(grid) window)
+    — including head NULLs before the first bar, gap segments, entities
+    whose bars end before t1, bars labeled past t1 (excluded), and an
+    entity with no bars at all (all-NULL grid)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from quant_feature_pipeline_spark.operators.fill import grid_fill_ranges
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    bars = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity": ["A"] * 4 + ["B"] * 2 + ["C"],
+                # A: starts past t0 (head nulls), has a gap, ends early;
+                # B: dense; C: single bar AFTER its t1 (contributes nothing)
+                "ts": [ts(15), ts(20), ts(45), ts(60), ts(5), ts(10), ts(500)],
+                "close": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0, 99.0],
+            }
+        )
+    )
+    bounds = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "entity": ["A", "B", "C", "D"],  # D has no bars at all
+                "t0": [ts(0), ts(0), ts(0), ts(0)],
+                "t1": [ts(90), ts(10), ts(30), ts(20)],
+            }
+        )
+    )
+    grid = bounds.select(
+        "entity",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 5 MINUTES"))).alias("ts"),
+    )
+    want = (
+        ffill(grid.join(bars, ["entity", "ts"], "left"), ["close"])
+        .select("entity", "ts", "close")
+        .toPandas()
+        .sort_values(["entity", "ts"])
+        .reset_index(drop=True)
+    )
+    got = (
+        grid_fill_ranges(bars, "5m", value_cols=("close",), grid_bounds=bounds)
+        .toPandas()
+        .sort_values(["entity", "ts"])
+        .reset_index(drop=True)
+    )
+    assert got["entity"].equals(want["entity"]) and got["ts"].equals(want["ts"])
+    a, b = got["close"].to_numpy(), want["close"].to_numpy()
+    assert np.array_equal(np.isnan(a), np.isnan(b))
+    assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])

@@ -84,9 +84,22 @@ def main() -> None:
         ),
         (
             "As-of join, union-ffill (J1)",
-            asof_join(bars, bars.select("entity", "ts", F.col("close").alias("r"))),
+            asof_join(
+                bars,
+                bars.select("entity", "ts", F.col("close").alias("r")),
+                strategy="union_ffill",
+            ),
             "one entity-partitioned sort window; no join node at all — the match is a "
             "forward-fill over the tagged union.",
+        ),
+        (
+            "As-of join, DEFAULT auto routing (J1, r5)",
+            asof_join(bars, bars.select("entity", "ts", F.col("close").alias("r"))),
+            "the default entry point: a tiny persisted per-entity count table "
+            "broadcasts onto both sides as anti/semi filters; cold entities take the "
+            "union-ffill window, hot entities the range-bucketed branch, unioned. "
+            "The extra nodes are the price of never leaving a 90%-hot symbol in one "
+            "straggler sort task.",
         ),
         (
             "Multi-timeframe as-of (fused)",
