@@ -298,6 +298,24 @@ THROUGHPUT_EXEC, THROUGHPUT_CORES, THROUGHPUT_REPS = 4, 4, 3  # peak-box config 
 CTL_REPS = 3
 
 
+def _bus_probe() -> float:
+    """Memory-bandwidth probe (seconds; quiet reference ~2-4 s): five
+    cumsum passes over 40M float64 — ~3 GB of memory traffic, near-zero
+    arithmetic. On this shared-host microVM, co-tenant phases saturate
+    the ONE memory bus while leaving pure-CPU speed intact (measured r5:
+    busy-loop 1.74 s normal vs this probe at 166 s in the same minute),
+    silently inflating every shuffle/sort/pandas-bound number 5-18x.
+    Recording the probe beside the results makes each run's window
+    quality part of the artifact instead of a post-hoc guess."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(40_000_000)
+    t0 = time.time()
+    for _ in range(5):
+        a.cumsum()
+    return round(time.time() - t0, 2)
+
+
 def _median_run(rs: list[dict]) -> dict:
     """The rep whose time is the median — a real run, not an average of
     runs, so rows/checksum stay attached to the quoted time. Even rep
@@ -841,9 +859,17 @@ def _bench_queries(fast: bool) -> dict:
 def _write_bench_md(payload: dict) -> None:
     sc = payload.get("scaling", {})
     tp = payload.get("token_pipeline", {})
+    probe = ""
+    if "bus_probe_start_sec" in payload:
+        probe = (
+            f" · membw probe start/end: {payload['bus_probe_start_sec']} / "
+            f"{payload.get('bus_probe_end_sec', '—')} s (quiet ref ~2-4 s; "
+            "see _bus_probe — high values mean co-tenant bus saturation "
+            "inflated the bus-bound numbers)"
+        )
     lines = [
         "# BENCH — measured results (local mode)\n",
-        f"sf dir: `{payload['sf_dir']}` · query parallelism: local[{CPUS}]\n",
+        f"sf dir: `{payload['sf_dir']}` · query parallelism: local[{CPUS}]{probe}\n",
         "## Headline queries (seconds)\n",
         "first run includes plan codegen/JIT; warm = second run of the same query (steady state)\n",
         "| query | sec (first) | sec (warm) | rows |",
@@ -982,12 +1008,14 @@ def main() -> None:
         print(_cpu_control(n_exec))
         return
     fast = "--fast" in sys.argv
+    bus_start = _bus_probe()
     queries_detail = _bench_queries(fast)
     payload = {
         "metric": "headline query wall time + token-pipeline sequences/sec",
         "unit": "sec",
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "sf_dir": SF_DIR,
+        "bus_probe_start_sec": bus_start,
         "queries_detail": queries_detail,
     }
     if not fast:
@@ -1038,6 +1066,7 @@ def main() -> None:
             payload["token_sequences_per_sec"] = round(
                 scaling[f"exec{SCALE_4N}"]["rows_per_sec"], 1
             )
+    payload["bus_probe_end_sec"] = _bus_probe()
     payload["queries"] = {k: v["sec"] for k, v in queries_detail.items()}
     payload["value"] = round(sum(v["sec"] for v in queries_detail.values()), 3)
     payload["queries_warm"] = {k: v.get("warm_sec") for k, v in queries_detail.items()}
