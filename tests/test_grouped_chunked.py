@@ -264,3 +264,41 @@ def test_asof_auto_routes_hot_entity(spark):
             ).toPandas()
         )
         assert got.equals(want), (direction, tol)
+
+
+def test_asof_auto_sampled_hot_detection(spark):
+    """hot_detect_sample: routing from a Bernoulli sample (the 100 TB
+    path — no full extra count scan) is still EXACT, whatever the sample
+    decides. Exercised at a fraction/threshold where the hot entity IS
+    detected (expected sample count 50 >> threshold 10) and at one where
+    nothing can be (threshold above the whole sampled row count), so
+    both routing outcomes are covered."""
+    import datetime
+
+    from quant_feature_pipeline_spark.operators.asof import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for e, n in (("HOT", 5_000), ("C1", 300), ("C2", 7)):
+        for k in range(n):
+            rows.append((e, t0 + datetime.timedelta(seconds=11 * k), float(k)))
+    left = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["entity", "ts", "lval"])
+    )
+    rrows = [
+        (e, t0 + datetime.timedelta(minutes=5 * k), float(100 + k))
+        for e in ("HOT", "C1", "C2")
+        for k in range(20)
+    ]
+    right = spark.createDataFrame(
+        pd.DataFrame(rrows, columns=["entity", "ts", "rval"])
+    )
+    want = _key(asof_join(left, right, strategy="union_ffill").toPandas())
+    for hot_rows in (1_000, 10_000_000):  # detected / undetectable
+        got = _key(
+            asof_join(
+                left, right, strategy="auto",
+                hot_rows=hot_rows, hot_detect_sample=0.01,
+            ).toPandas()
+        )
+        assert got.equals(want), hot_rows
