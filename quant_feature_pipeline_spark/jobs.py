@@ -49,6 +49,10 @@ def _parse_args(argv: list[str] | None) -> argparse.Namespace:
         description="bars parquet -> wide feature table, checkpointed + resumable",
     )
     p.add_argument("--input", required=True, help="base-bar parquet path/dir")
+    p.add_argument("--input-kind", default="bars", choices=("bars", "tokens"),
+                   help="'tokens' = the north-rule pre-tokenized sequence "
+                        "table (doc_id, tokens:array<int>, n_tok, source); "
+                        "decoded via sources.bars.bars_from_tokens")
     p.add_argument("--checkpoint-root", required=True)
     p.add_argument("--output", default=None,
                    help="optional extra sink dir (sources.sink.write_table)")
@@ -78,6 +82,16 @@ def build_features(spark: SparkSession, args: argparse.Namespace) -> dict:
     )
     ck = Checkpointer(args.checkpoint_root, spark)
     bars = spark.read.parquet(args.input)
+    if getattr(args, "input_kind", "bars") == "tokens":
+        from .sources.bars import bars_from_tokens
+
+        # decode the pre-tokenized sequence table onto the bar shape;
+        # the feature axis aggregates bars, so the variable-grain token
+        # payload stays queryable at its own grain via doc_id joins
+        # (q_token_passthrough is the invariant gate for that surface)
+        bars = bars_from_tokens(bars).select(
+            args.by, args.ts_col, "open", "high", "low", "close", "volume"
+        )
     warmup_s = float(args.warmup_bars) * max(
         tf_seconds(tf) for tf in cfg.resample_targets
     )

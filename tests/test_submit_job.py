@@ -20,9 +20,11 @@ from .conftest import make_bars_pdf
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _job_args(tmp_path, input_path, mode="auto", warmup_bars=600):
+def _job_args(tmp_path, input_path, mode="auto", warmup_bars=600,
+              input_kind="bars"):
     return argparse.Namespace(
         input=str(input_path),
+        input_kind=input_kind,
         checkpoint_root=str(tmp_path / "ck"),
         output=None,
         output_format="parquet",
@@ -83,6 +85,44 @@ def test_spark_submit_pyfiles(tmp_path):
     manifest = json.load(open(tmp_path / "ck" / "features" / "_manifest.json"))
     assert manifest["lineage"]["A"]["rows"] == len(bars) // 2
     assert metrics["schema_sha"] == manifest["schema_sha"]
+
+
+def test_job_token_table_input(spark, tmp_path):
+    """--input-kind tokens: the job reads the north-rule pre-tokenized
+    sequence table (doc_id, tokens, n_tok, source) directly and builds
+    the same feature snapshot as a pre-decoded bars input."""
+    from quant_feature_pipeline_spark.jobs import build_features
+    from quant_feature_pipeline_spark.sources.bars import bars_from_tokens
+    from quant_feature_pipeline_spark.sources.tokens import synth_token_table
+
+    tok = synth_token_table(spark, n_entities=2, minutes=240)
+    tok_path = tmp_path / "tokens.parquet"
+    tok.write.mode("overwrite").parquet(str(tok_path))
+
+    m = build_features(
+        spark, _job_args(tmp_path, tok_path, mode="full", input_kind="tokens")
+    )
+    assert m["mode"] == "full" and m["entities"] == 2
+
+    bars_path = tmp_path / "bars.parquet"
+    bars_from_tokens(tok).select(
+        "entity", "ts", "open", "high", "low", "close", "volume"
+    ).write.mode("overwrite").parquet(str(bars_path))
+    m2 = build_features(spark, _job_args(tmp_path / "ref", bars_path, mode="full"))
+    assert m2["schema_sha"] == m["schema_sha"]
+    got = pd.read_parquet(tmp_path / "ck" / "features").sort_values(
+        ["entity", "ts"]).reset_index(drop=True)
+    want = pd.read_parquet(tmp_path / "ref" / "ck" / "features").sort_values(
+        ["entity", "ts"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        if pd.api.types.is_float_dtype(want[c]):
+            np.testing.assert_allclose(
+                got[c].to_numpy(), want[c].to_numpy(),
+                rtol=1e-12, atol=1e-12, err_msg=c, equal_nan=True,
+            )
+        else:
+            assert got[c].equals(want[c]), c
 
 
 def test_job_incremental_resume_matches_full(spark, tmp_path):
