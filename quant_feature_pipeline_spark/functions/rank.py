@@ -88,6 +88,7 @@ def rolling_rank_multi(
     specs: list[tuple[str, int, int, str]],
     by: str = "entity",
     ts_col: str = "ts",
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """Many rolling ranks in ONE grouped Arrow stage.
 
@@ -113,6 +114,7 @@ def rolling_rank_multi(
     return grouped_apply(
         df, by, fn, schema, ts_col=ts_col,
         lookback_rows=max(w for _, w, _, _ in specs),
+        prepartitioned=prepartitioned,
     )
 
 

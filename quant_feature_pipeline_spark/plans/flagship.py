@@ -189,7 +189,14 @@ def run_flagship(
     parts = int(bars.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     bars = bars.repartition(parts, by)
     tfs = resample_all(bars, cfg, by=by, ts_col=ts_col, persist=persist_stages)
-    inds = {tf: indicator_table(df, cfg, by=by, ts_col=ts_col) for tf, df in tfs.items()}
+    # the tf tables inherit the up-front entity hash layout (subset-key
+    # distribution satisfaction leaves agg output partitioning at
+    # hash(entity)), so every recurrence Arrow stage skips its own
+    # repartition — same elision run_pipeline ships with (r5)
+    inds = {
+        tf: indicator_table(df, cfg, by=by, ts_col=ts_col, prepartitioned=True)
+        for tf, df in tfs.items()
+    }
     merged = merge_timeframes(
         tfs[base_tf], inds, cfg, by=by, ts_col=ts_col, keep_right_cols=("close",),
         axis_tables=tfs,
@@ -277,10 +284,13 @@ def run_flagship(
             (f"_ax_{tf}", sw, 1, f"_axrs_{tf}"),
             (f"_vl_{tf}", VOL_RANK_BASE * mult[tf], 1, f"_vlr_{tf}"),
         ]
+    # narrow inherits entity-complete partitions from the persisted
+    # merge/window chain (every upstream window requires and preserves
+    # hash(entity)), so the rank Arrow stage skips its repartition too
     narrow = df.select(by, ts_col, *sorted({s[0] for s in specs}))
-    ranked = rolling_rank_multi(narrow, specs, by=by, ts_col=ts_col).select(
-        by, ts_col, *[s[3] for s in specs]
-    )
+    ranked = rolling_rank_multi(
+        narrow, specs, by=by, ts_col=ts_col, prepartitioned=True
+    ).select(by, ts_col, *[s[3] for s in specs])
     # base axis is unique on (by, ts): plain equi-join re-attaches the
     # rank columns without the wide payload ever entering the Arrow stage
     df = df.join(ranked, [by, ts_col], "left")
