@@ -460,28 +460,29 @@ def asof_join_hot_routed(
     buckets, so one symbol holding 90% of rows is not one straggler
     sort task); everything else takes the one-window union_ffill path.
 
-    Fully lazy — no driver-side count action. The per-entity count table
-    is tiny (one row per entity, map-side combined), broadcasts onto
-    both sides as semi/anti joins, and both branches are exact, so the
-    union is exact. The measured crossover on the skew bench
-    (bench.py _skew_bench: 20M-row hot entity, generic 14.0 s vs
-    bucketed 9.2 s) sits well above the default threshold.
+    Detection runs EAGERLY at call time (one small driver action): the
+    hot-entity list is bounded by construction — at most
+    total_left_rows / hot_rows entities can exceed the threshold (25
+    names at 100 TB of 1k-byte rows with the 4M default), so collecting
+    it costs one count-aggregate job and a few strings on the driver.
+    Eagerness buys the common case: with NO hot entity the call returns
+    the plain one-window union_ffill plan — no anti/semi joins, no
+    empty bucketed branch, no union (r5: the lazy always-both-branches
+    form cost 2-3x on non-skewed inputs, the usual shape). With a small
+    hot list (<= ``hot_isin_max``) the branches split on a LITERAL
+    ``isin`` filter — no broadcast join, and row membership is decided
+    on the driver, closing the ADVICE r4 hazard where a
+    non-deterministic left could disagree between the anti and semi
+    branches. Only an implausibly large hot list falls back to the
+    broadcast semi/anti-join form.
 
-    Cost note: each branch scans the left subtree (plus one scan for the
-    count table) — a parquet scan is cheap next to the join, but callers
-    whose LEFT is an expensive unpersisted plan should ``.persist()`` it
-    before routing, or pick a strategy explicitly.
-
-    Determinism contract (ADVICE r4): the hot-entity list itself is
-    ``persist()``-ed below, so both branches filter against ONE
-    materialized hot set even if the left plan is non-deterministic.
-    The LEFT/RIGHT frames, however, are still evaluated once per branch
-    — a non-deterministic left (unseeded ``rand()``/``sample``-derived
-    columns) can yield different ROWS in the anti and semi branches.
-    Callers with non-deterministic inputs must ``.persist()`` them
-    before routing (or pick one strategy explicitly); the hot list is a
-    few entity names, so its cache entry is negligible and is released
-    with the session (or ``spark.catalog.clearCache()``).
+    Cost note: each branch still scans the left subtree (plus one scan
+    for the detection count) — a parquet scan is cheap next to the
+    join, but callers whose LEFT is an expensive unpersisted plan
+    should ``.persist()`` it before routing, or pick a strategy
+    explicitly. The measured crossover on the skew bench (bench.py
+    _skew_bench: 20M-row hot entity, generic 14.0 s vs bucketed 9.2 s)
+    sits well above the default threshold.
 
     Scale note (100 TB): the exact per-entity count is one FULL extra
     pass over the left table. ``hot_detect_sample=f`` (e.g. ``0.001``)
@@ -493,8 +494,8 @@ def asof_join_hot_routed(
     PERFORMANCE-ONLY — both branches compute the identical exact join,
     so sampling error can only move a near-boundary entity between two
     exact plans, never change a result row. The sample is seeded and the
-    detected list is persisted before either branch reads it, so both
-    branches always filter against one materialized hot set."""
+    detected list is materialized once before any branch is built, so
+    both branches always filter against one hot set."""
     counted = (
         left if hot_detect_sample is None
         else left.sample(fraction=float(hot_detect_sample), seed=7)
@@ -502,29 +503,33 @@ def asof_join_hot_routed(
     threshold = float(hot_rows) * (
         1.0 if hot_detect_sample is None else float(hot_detect_sample)
     )
+    hot_isin_max = 10_000  # literal-isin cap; above it, broadcast joins
     hot = (
         counted.groupBy(by)
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > threshold)
         .select(by)
-        .persist()
     )
+    hot_list = [r[0] for r in hot.limit(hot_isin_max + 1).collect()]
     kw = dict(
         on=on, by=by, direction=direction,
         allow_exact_matches=allow_exact_matches,
         tolerance_s=tolerance_s, right_prefix=right_prefix,
     )
-    cold_out = asof_join_union_ffill(
-        left.join(F.broadcast(hot), [by], "left_anti"),
-        right.join(F.broadcast(hot), [by], "left_anti"),
-        **kw,
-    )
-    hot_out = asof_join_bucketed(
-        left.join(F.broadcast(hot), [by], "left_semi"),
-        right.join(F.broadcast(hot), [by], "left_semi"),
-        bucket_s=bucket_s,
-        **kw,
-    )
+    if not hot_list:  # the common case: the r4-shaped one-window plan
+        return asof_join_union_ffill(left, right, **kw)
+    if len(hot_list) <= hot_isin_max:
+        is_hot = F.col(by).isin(hot_list)
+        cold_l, cold_r = left.filter(~is_hot), right.filter(~is_hot)
+        hot_l, hot_r = left.filter(is_hot), right.filter(is_hot)
+    else:  # implausibly many hot entities: broadcast-join split
+        hot = hot.persist()
+        cold_l = left.join(F.broadcast(hot), [by], "left_anti")
+        cold_r = right.join(F.broadcast(hot), [by], "left_anti")
+        hot_l = left.join(F.broadcast(hot), [by], "left_semi")
+        hot_r = right.join(F.broadcast(hot), [by], "left_semi")
+    cold_out = asof_join_union_ffill(cold_l, cold_r, **kw)
+    hot_out = asof_join_bucketed(hot_l, hot_r, bucket_s=bucket_s, **kw)
     return cold_out.unionByName(hot_out)
 
 
