@@ -1085,6 +1085,11 @@ def main() -> None:
         print(_cpu_control(n_exec))
         return
     fast = "--fast" in sys.argv
+    # --no-scaling: re-record every non-cluster section (headline +
+    # skew/chunk/flagship/ivf/grid/streaming) without the ~30 min
+    # scaling/throughput block — for splicing coherent sections into a
+    # published BENCH.md per the provenance-appendix methodology
+    no_scaling = "--no-scaling" in sys.argv
     bus_start = _bus_probe()
     queries_detail = _bench_queries(fast)
     payload = {
@@ -1126,15 +1131,19 @@ def main() -> None:
             payload["streaming_state"] = _streaming_state_bench()
         except Exception as exc:  # noqa: BLE001
             payload["streaming_state"] = {"error": repr(exc)[:500]}
-        try:
-            scaling = _scaling()
-        except Exception as exc:  # noqa: BLE001
-            scaling = {"error": repr(exc)[:500]}
-        payload["scaling"] = dict(scaling)
-        try:
-            tp = _throughput()
-        except Exception as exc:  # noqa: BLE001
-            tp = {"error": repr(exc)[:300]}
+        scaling: dict = {}
+        if not no_scaling:
+            try:
+                scaling = _scaling()
+            except Exception as exc:  # noqa: BLE001
+                scaling = {"error": repr(exc)[:500]}
+            payload["scaling"] = dict(scaling)
+        tp: dict = {}
+        if not no_scaling:
+            try:
+                tp = _throughput()
+            except Exception as exc:  # noqa: BLE001
+                tp = {"error": repr(exc)[:300]}
         if "rows_per_sec" in tp:
             payload["token_pipeline"] = tp
             payload["token_sequences_per_sec"] = round(tp["rows_per_sec"], 1)
@@ -1150,7 +1159,7 @@ def main() -> None:
     payload["value_warm"] = round(
         sum(v.get("warm_sec", 0.0) for v in queries_detail.values()), 3
     )
-    if not fast:  # --fast is a smoke run; don't clobber the full BENCH.md
+    if not fast and not no_scaling:  # partial runs don't clobber BENCH.md
         _write_bench_md(payload)
     print(json.dumps(payload))
 
