@@ -95,11 +95,12 @@ def main() -> None:
         (
             "As-of join, DEFAULT auto routing (J1, r5)",
             asof_join(bars, bars.select("entity", "ts", F.col("close").alias("r"))),
-            "the default entry point: a tiny persisted per-entity count table "
-            "broadcasts onto both sides as anti/semi filters; cold entities take the "
-            "union-ffill window, hot entities the range-bucketed branch, unioned. "
-            "The extra nodes are the price of never leaving a 90%-hot symbol in one "
-            "straggler sort task.",
+            "the default entry point detects the bounded hot-entity list EAGERLY "
+            "(one driver count job); with no hot entity — this input — it returns "
+            "the plain one-window union-ffill plan (1 exchange, 1 sort: zero routing "
+            "overhead). With a hot entity the branches split on a literal isin "
+            "filter: cold entities keep the union-ffill window, the hot one takes "
+            "the range-bucketed branch, unioned — never one straggler sort task.",
         ),
         (
             "Multi-timeframe as-of (fused)",
