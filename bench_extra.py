@@ -1,0 +1,230 @@
+"""Extra benchmarks / profilers for optimization round 6.
+
+bench.py is FROZEN for measurement (the driver re-runs the round-start
+copy); everything exploratory lives here. Each mode prints one JSON line.
+
+Usage:
+    python bench_extra.py --profile-flagship      # per-job/stage split of the flagship first+warm run
+    python bench_extra.py --query NAME            # first/warm timing of one headline query (same method as bench.py)
+    python bench_extra.py --explain NAME          # write plans/r06/<NAME>_{before,after}.txt (set PLAN_TAG)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _spark(ui: bool = False):
+    from quant_feature_pipeline_spark.session import get_spark
+
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if ui:
+        extra.update({"spark.ui.enabled": "true", "spark.ui.port": "0"})
+    return get_spark(app_name="bench-extra", cpus=CPUS, extra_conf=extra)
+
+
+def _warm(spark):
+    """Same session warm-up bench.py uses (JIT + python workers)."""
+    from pyspark.sql import functions as F
+
+    spark.range(10_000_000).select(F.sum(F.pmod(F.xxhash64("id"), F.lit(997)))).first()
+    _w = F.pandas_udf(lambda x: x, "long")
+    spark.range(100_000).repartition(CPUS).select(F.sum(_w("id"))).first()
+
+
+def _rest_jobs(spark):
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    jobs = json.load(urllib.request.urlopen(f"{url}/api/v1/applications/{app}/jobs"))
+    out = []
+    for j in jobs:
+        try:
+            from datetime import datetime
+
+            fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
+            t0 = datetime.strptime(j["submissionTime"], fmt)
+            t1 = datetime.strptime(j["completionTime"], fmt)
+            dur = (t1 - t0).total_seconds()
+        except Exception:  # noqa: BLE001
+            dur = None
+        out.append(
+            {
+                "jobId": j["jobId"],
+                "sec": dur,
+                "desc": (j.get("description") or j.get("name") or "")[:120],
+                "stages": j.get("stageIds"),
+            }
+        )
+    return out
+
+
+def _rest_stages(spark):
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    stages = json.load(
+        urllib.request.urlopen(f"{url}/api/v1/applications/{app}/stages")
+    )
+    return [
+        {
+            "stageId": s["stageId"],
+            "name": s["name"][:90],
+            "executorRunTime_s": round(s["executorRunTime"] / 1e3, 2),
+            "executorCpuTime_s": round(s.get("executorCpuTime", 0) / 1e9, 2),
+            "shuffleRead_mb": round(s["shuffleReadBytes"] / 1e6, 1),
+            "shuffleWrite_mb": round(s["shuffleWriteBytes"] / 1e6, 1),
+            "numTasks": s["numTasks"],
+        }
+        for s in stages
+    ]
+
+
+def profile_flagship() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = _spark(ui=True)
+    _warm(spark)
+    spark.catalog.clearCache()
+    qs = entrymod.queries()
+
+    marks = [("start", time.time(), len(_rest_jobs(spark)))]
+    t0 = time.time()
+    df = qs["flagship_features"](spark, SF_DIR)
+    t_build = time.time() - t0  # includes the eager stats jobs
+    marks.append(("built", time.time(), None))
+    df.write.format("noop").mode("overwrite").save()
+    t_first = time.time() - t0
+    t1 = time.time()
+    qs["flagship_features"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_warm = time.time() - t1
+
+    jobs = _rest_jobs(spark)
+    stages = _rest_stages(spark)
+    payload = {
+        "first_sec": round(t_first, 2),
+        "build_sec_incl_stats_jobs": round(t_build, 2),
+        "warm_sec": round(t_warm, 2),
+        "job_wall_total_sec": round(sum(j["sec"] or 0 for j in jobs), 2),
+        "jobs": jobs,
+        "stages_top": sorted(
+            stages, key=lambda s: -s["executorRunTime_s"]
+        )[:20],
+    }
+    spark.stop()
+    print(json.dumps(payload, indent=1))
+
+
+def time_query(name: str, reps: int = 1) -> None:
+    import __spark_entry__ as entrymod
+
+    spark = _spark()
+    _warm(spark)
+    qs = entrymod.queries()
+    out = {}
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        warm = round(time.time() - t0, 3)
+        out.setdefault("first", []).append(sec)
+        out.setdefault("warm", []).append(warm)
+    out["rows"] = df.count()
+    spark.stop()
+    print(json.dumps({name: out}))
+
+
+def _probe() -> float:
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(40_000_000)
+    t0 = time.time()
+    for _ in range(5):
+        a.cumsum()
+    return round(time.time() - t0, 2)
+
+
+def headline(names: list[str] | None = None) -> None:
+    """Same methodology as bench.py _bench_queries (clearCache, noop
+    sink, first+warm), one JSON line."""
+    import __spark_entry__ as entrymod
+
+    import bench as benchmod
+
+    probe0 = _probe()
+    spark = _spark()
+    _warm(spark)
+    qs = entrymod.queries()
+    out = {}
+    for name in names or benchmod.HEADLINE:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        warm = round(time.time() - t0, 3)
+        out[name] = {"sec": sec, "warm_sec": warm}
+    out["value"] = round(sum(v["sec"] for v in out.values()), 3)
+    out["value_warm"] = round(
+        sum(v["warm_sec"] for v in out.values() if isinstance(v, dict)), 3
+    )
+    spark.stop()
+    out["probe_start"] = probe0
+    out["probe_end"] = _probe()
+    print(json.dumps(out))
+
+
+def explain_query(name: str, tag: str) -> None:
+    import __spark_entry__ as entrymod
+
+    spark = _spark()
+    qs = entrymod.queries()
+    df = qs[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    os.makedirs("plans/r06", exist_ok=True)
+    path = f"plans/r06/{name}_{tag}.txt"
+    with open(path, "w") as fh:
+        fh.write(plan)
+    spark.stop()
+    print(json.dumps({"written": path, "exchanges": plan.count("Exchange")}))
+
+
+def main() -> None:
+    if "--profile-flagship" in sys.argv:
+        profile_flagship()
+    elif "--headline" in sys.argv:
+        i = sys.argv.index("--headline")
+        names = sys.argv[i + 1].split(",") if len(sys.argv) > i + 1 else None
+        headline(names)
+    elif "--query" in sys.argv:
+        name = sys.argv[sys.argv.index("--query") + 1]
+        reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 1
+        time_query(name, reps)
+    elif "--explain" in sys.argv:
+        name = sys.argv[sys.argv.index("--explain") + 1]
+        tag = os.environ.get("PLAN_TAG", "before")
+        explain_query(name, tag)
+    else:
+        print(__doc__)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,8 +77,17 @@ def grouped_apply(
     warmup_rows: int = 4_096,
     lookback_rows: int | None = None,
     prepartitioned: bool = False,
+    partition_fn: Callable[[pd.DataFrame], Iterator[pd.DataFrame]] | None = None,
 ) -> DataFrame:
     """One Arrow stage over entity-hash partitions; see module docstring.
+
+    ``partition_fn`` (r6 optimization): a whole-partition kernel that
+    owns grouping/sorting internally (e.g. one stable (by, ts) sort and
+    array slices per group instead of a pandas groupby + per-group
+    DataFrame assembly — measured ~4x less Python overhead for small
+    groups). It MUST implement the same group semantics as ``fn`` over a
+    group-complete partition; ``fn`` remains the reference path and the
+    chunked/cogroup paths keep using it.
 
     ``lookback_rows`` declares the kernel's EXACT finite history
     requirement (e.g. a rolling-rank window): auto-chunking replays
@@ -153,10 +162,14 @@ def grouped_apply(
             if metrics is not None:
                 metrics.partitions.add(1)
             return
-        n_groups = 0
-        for _, g in pdf.groupby(by, sort=False):
-            n_groups += 1
-            yield from run_group(g)
+        if partition_fn is not None:
+            n_groups = int(pdf[by].nunique()) if metrics is not None else 0
+            yield from partition_fn(pdf)
+        else:
+            n_groups = 0
+            for _, g in pdf.groupby(by, sort=False):
+                n_groups += 1
+                yield from run_group(g)
         if metrics is not None:
             metrics.partitions.add(1)
             metrics.rows.add(int(len(pdf)))
@@ -165,8 +178,84 @@ def grouped_apply(
 
     if prepartitioned:
         return df.mapInPandas(run, schema=schema)
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(parts, by).mapInPandas(run, schema=schema)
+    if num_partitions is not None:
+        return df.repartition(num_partitions, by).mapInPandas(run, schema=schema)
+    # bare expression repartition (r6, guide §2.2): AQE-coalescible, so
+    # partition count follows data size instead of a pinned constant
+    return df.repartition(by).mapInPandas(run, schema=schema)
+
+
+def array_partition_fn(
+    by: str,
+    ts_col: str,
+    src_cols: list[str],
+    array_fn: Callable[[dict], dict],
+    ind_cols: list[str],
+    out_cols: list[str],
+    auto_chunk_rows: int | None,
+    chunk_rows: int,
+    warmup_rows: int,
+):
+    """Build a ``partition_fn`` for grouped_apply from an array kernel.
+
+    ``array_fn`` maps {src_col: float64 slice} of ONE ts-sorted group to
+    {ind_col: float64 array} of the same length. The partition is stable-
+    sorted ONCE by (by, ts) — within a group that is exactly the
+    per-group stable ts sort the reference ``fn`` path performs — then
+    each contiguous group slice runs through ``array_fn`` with no pandas
+    groupby and no per-group DataFrame/concat (r6, guide §4.2). Groups
+    above ``auto_chunk_rows`` run in ``chunk_rows`` slices with
+    ``warmup_rows`` of replayed history (same row math as run_group's
+    auto-chunking), and output flushes every ~chunk_rows rows so a huge
+    entity never buffers its whole wide output frame."""
+    import numpy as np
+
+    def partition_fn(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        pdf = pdf.sort_values([by, ts_col], kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        ents = pdf[by].to_numpy()
+        change = np.nonzero(ents[1:] != ents[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [n]))
+        arrs = {c: pdf[c].to_numpy(dtype=np.float64) for c in src_cols}
+        flush_from = 0
+        bufs: dict[str, list] = {k: [] for k in ind_cols}
+
+        def assemble(upto: int) -> pd.DataFrame:
+            nonlocal flush_from, bufs
+            base = pdf.iloc[flush_from:upto]
+            ind = pd.DataFrame(
+                {
+                    k: (np.concatenate(v) if len(v) > 1 else v[0])
+                    for k, v in bufs.items()
+                },
+                index=base.index,
+            )
+            flush_from = upto
+            bufs = {k: [] for k in ind_cols}
+            return pd.concat([base, ind], axis=1)[out_cols]
+
+        for s, e in zip(starts, ends):
+            if auto_chunk_rows is not None and e - s > auto_chunk_rows:
+                if s > flush_from:  # flush buffered smaller groups first
+                    yield assemble(s)
+                for cs in range(s, e, chunk_rows):
+                    lo = max(s, cs - warmup_rows)
+                    ce = min(e, cs + chunk_rows)
+                    res = array_fn({c: a[lo:ce] for c, a in arrs.items()})
+                    for k in ind_cols:
+                        bufs[k].append(res[k][cs - lo :])
+                    yield assemble(ce)
+            else:
+                res = array_fn({c: a[s:e] for c, a in arrs.items()})
+                for k in ind_cols:
+                    bufs[k].append(res[k])
+                if e - flush_from >= chunk_rows:
+                    yield assemble(e)
+        if flush_from < n:
+            yield assemble(n)
+
+    return partition_fn
 
 
 def grouped_apply_chunked(
@@ -283,5 +372,6 @@ def grouped_apply_chunked(
             if len(res):
                 yield res[cols]
 
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return dup.repartition(parts, by, "_ck").mapInPandas(run, schema=schema)
+    if num_partitions is not None:
+        return dup.repartition(num_partitions, by, "_ck").mapInPandas(run, schema=schema)
+    return dup.repartition(by, "_ck").mapInPandas(run, schema=schema)

@@ -76,11 +76,22 @@ def rolling_percentile_rank(
         pdf[out_name] = rolling_rank_series(pdf[src], window, min_periods)
         return pdf
 
-    from .grouped import grouped_apply
+    from .grouped import array_partition_fn, grouped_apply
 
+    mp = min_periods if min_periods is not None else max(2, window // 2)
+    partition_fn = array_partition_fn(
+        by, ts_col, [src],
+        lambda sl: {out_name: _rank_kernel(sl[src], window, mp)},
+        [out_name], [f.name for f in schema.fields],
+        auto_chunk_rows=1_048_576, chunk_rows=262_144,
+        warmup_rows=max(4_096, window),
+    )
     # lookback_rows: rank is a HARD window — auto-chunking must replay
     # >= window-1 rows or boundary rows silently corrupt (ADVICE r4)
-    return grouped_apply(df, by, fn, schema, ts_col=ts_col, lookback_rows=window)
+    return grouped_apply(
+        df, by, fn, schema, ts_col=ts_col, lookback_rows=window,
+        partition_fn=partition_fn,
+    )
 
 
 def rolling_rank_multi(
@@ -109,12 +120,24 @@ def rolling_rank_multi(
             new[out] = _rank_kernel(pdf[src].to_numpy(np.float64), window, mp)
         return pd.concat([pdf, pd.DataFrame(new, index=pdf.index)], axis=1)
 
-    from .grouped import grouped_apply
+    from .grouped import array_partition_fn, grouped_apply
 
+    max_w = max(w for _, w, _, _ in specs)
+    partition_fn = array_partition_fn(
+        by, ts_col, sorted({s[0] for s in specs}),
+        lambda sl: {
+            out: _rank_kernel(sl[src], window, mp)
+            for src, window, mp, out in specs
+        },
+        [s[3] for s in specs], [f.name for f in schema.fields],
+        auto_chunk_rows=1_048_576, chunk_rows=262_144,
+        warmup_rows=max(4_096, max_w),
+    )
     return grouped_apply(
         df, by, fn, schema, ts_col=ts_col,
-        lookback_rows=max(w for _, w, _, _ in specs),
+        lookback_rows=max_w,
         prepartitioned=prepartitioned,
+        partition_fn=partition_fn,
     )
 
 

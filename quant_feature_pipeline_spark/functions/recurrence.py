@@ -46,6 +46,72 @@ def _wilder(s: pd.Series, n: int) -> pd.Series:
     return s.ewm(alpha=1.0 / n, adjust=False).mean()
 
 
+# ---- direct Cython ewm (r6 optimization, guide §4.2) -------------------
+# pandas' Series.ewm(...).mean() pays ~0.15 ms of Series/em-window object
+# construction PER CALL; the flagship runs ~15 ewm calls per (entity, tf)
+# group, which dominates the whole indicator stage when groups are small
+# (measured: 4.75 ms/group of 66 rows at sf0.1 — ~70% pandas overhead,
+# ~7 s single-threaded for 6000 groups). Calling the underlying Cython
+# aggregation directly on the float64 array is BIT-IDENTICAL (it is the
+# exact code Series.ewm dispatches to, with the same com/minp/deltas
+# arguments) and skips all of it. Guarded import: any pandas that
+# renames the private module falls back to the Series path.
+try:
+    from pandas._libs.window.aggregations import ewm as _ewm_cython
+except ImportError:  # pragma: no cover - pinned pandas always has it
+    _ewm_cython = None
+
+
+def _ewm_arr(x: np.ndarray, com: float) -> np.ndarray:
+    """adjust=False, ignore_na=False, min_periods<=1 EWM over one array —
+    bit-identical to pd.Series(x).ewm(com=com, adjust=False).mean()
+    (asserted over real data in tests/test_kernel_numpy.py)."""
+    n = len(x)
+    if _ewm_cython is None:  # fallback: the reference pandas path
+        return pd.Series(x).ewm(com=com, adjust=False).mean().to_numpy()
+    start = np.zeros(1, dtype=np.int64)
+    end = np.full(1, n, dtype=np.int64)
+    deltas = np.ones(max(n - 1, 0), dtype=np.float64)
+    return _ewm_cython(x, start, end, 1, com, False, False, deltas, True)
+
+
+def _span_com(span: int) -> float:
+    return (span - 1) / 2  # exactly how pandas derives com from span
+
+
+def _alpha_com(n: float) -> float:
+    # pandas derives com from alpha as 1/alpha - 1 IN FLOATING POINT;
+    # float(n - 1) would differ in the last ulp for e.g. n=14 and break
+    # bit-equality with the Series path
+    alpha = 1.0 / n
+    return 1.0 / alpha - 1.0
+
+
+def _wilder_arr(x: np.ndarray, n: int) -> np.ndarray:
+    return _ewm_arr(x, _alpha_com(n))
+
+
+def _rsi_wilder_arr(c: np.ndarray, n: int) -> np.ndarray:
+    """Array twin of rsi_wilder — same op order, bit-identical."""
+    m = len(c)
+    d = np.empty(m, dtype=np.float64)
+    if m:
+        d[0] = np.nan
+        np.subtract(c[1:], c[:-1], out=d[1:])
+    gain = np.where(d < 0.0, 0.0, d)  # clip(lower=0): NaN stays NaN
+    neg = -d
+    loss = np.where(neg < 0.0, 0.0, neg)
+    ag = _wilder_arr(np.where(np.isnan(gain), 0.0, gain), n)
+    al = _wilder_arr(np.where(np.isnan(loss), 0.0, loss), n)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rs = ag / np.where(al == 0.0, np.nan, al)
+        rsi = 100.0 - 100.0 / (1.0 + rs)
+    rsi = np.where(al != 0.0, rsi, 100.0)
+    if m:
+        rsi[0] = np.nan  # first diff undefined
+    return rsi
+
+
 def rsi_wilder(close: pd.Series, n: int = 14) -> pd.Series:
     """Raw Wilder RSI in [0,100]."""
     d = close.diff()
@@ -89,6 +155,28 @@ def rsi_events(
     )
 
 
+def _run_len(mask: np.ndarray) -> np.ndarray:
+    # consecutive-True counter, vectorized gaps-and-islands
+    idx = np.arange(len(mask))
+    start = np.where(mask & ~np.concatenate(([False], mask[:-1])), idx, -1)
+    start = np.maximum.accumulate(np.where(mask, start, idx + 1))
+    return np.where(mask, idx - start + 1, 0)
+
+
+def _rsi_events_arr(
+    rsi_reshaped: np.ndarray, threshold: float, min_persist: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Array twin of rsi_events (NaN compares False, like the Series
+    comparison + fillna(False))."""
+    with np.errstate(invalid="ignore"):
+        ob = rsi_reshaped >= threshold
+        os_ = rsi_reshaped <= -threshold
+    ob_persist = _run_len(ob) >= min_persist
+    os_persist = _run_len(os_) >= min_persist
+    event = np.where(ob_persist, 1.0, np.where(os_persist, -1.0, 0.0))
+    return event, ob_persist.astype(np.float64), os_persist.astype(np.float64)
+
+
 def supertrend_direction(
     high: np.ndarray, low: np.ndarray, close: np.ndarray, atr: np.ndarray, mult: float
 ) -> np.ndarray:
@@ -117,8 +205,13 @@ def supertrend_direction(
     return direction
 
 
-def indicator_frame(pdf: pd.DataFrame, cfg: PipelineConfig, ts_col: str = "ts") -> pd.DataFrame:
-    """Single-entity, ts-sorted pandas kernel — also the test oracle.
+def indicator_frame_ref(
+    pdf: pd.DataFrame, cfg: PipelineConfig, ts_col: str = "ts"
+) -> pd.DataFrame:
+    """Single-entity, ts-sorted pandas REFERENCE kernel — the
+    Series-based formulation, kept verbatim as the oracle the optimized
+    array kernel (indicator_frame) is asserted bit-identical against
+    (tests/test_kernel_numpy.py).
 
     All derived columns are assembled in a dict and concatenated once:
     per-column insertion into a wide DataFrame churns the pandas block
@@ -170,6 +263,75 @@ def indicator_frame(pdf: pd.DataFrame, cfg: PipelineConfig, ts_col: str = "ts") 
     return pd.concat([pdf, pd.DataFrame(new, index=pdf.index)], axis=1)
 
 
+def _indicator_arrays(
+    c: np.ndarray, h: np.ndarray, low: np.ndarray, cfg: PipelineConfig
+) -> dict[str, np.ndarray]:
+    """The per-group indicator math on plain float64 arrays (ts-sorted).
+    Same op order per element as indicator_frame_ref — bit-identical."""
+    m = len(c)
+    new: dict[str, np.ndarray] = {}
+
+    for span in cfg.ema_spans:
+        new[f"ema_{span}"] = _ewm_arr(c, _span_com(span))
+
+    reshaped = (_rsi_wilder_arr(c, cfg.rsi_window) - 50.0) * 2.0
+    new[f"rsi{cfg.rsi_window}"] = reshaped
+    ev, ob, os_ = _rsi_events_arr(
+        reshaped, cfg.rsi_event_threshold, cfg.rsi_min_persist
+    )
+    new["rsi_event"] = ev
+    new["rsi_overbought"] = ob
+    new["rsi_oversold"] = os_
+
+    ema_fast = _ewm_arr(c, _span_com(cfg.macd_fast))
+    ema_slow = _ewm_arr(c, _span_com(cfg.macd_slow))
+    macd = ema_fast - ema_slow
+    signal = _ewm_arr(macd, _span_com(cfg.macd_signal))
+    new["macd"] = macd
+    new["macd_signal"] = signal
+    new["macd_histogram"] = macd - signal
+
+    prev_c = np.empty(m, dtype=np.float64)
+    if m:
+        prev_c[0] = np.nan
+        prev_c[1:] = c[:-1]
+    hl = h - low
+    tr_np = np.maximum(
+        hl, np.maximum(np.abs(h - prev_c), np.abs(low - prev_c))
+    )
+    tr_np = np.where(np.isnan(tr_np), hl, tr_np)
+    atr = _wilder_arr(tr_np, cfg.atr_window)
+    new[f"atr{cfg.atr_window}"] = atr
+    with np.errstate(invalid="ignore", divide="ignore"):
+        new[f"atr{cfg.atr_window}_pct"] = np.where(c > 0, atr / c, np.nan)
+
+    st_atr = _wilder_arr(tr_np, cfg.supertrend_period)
+    new["supertrend_direction"] = supertrend_direction(
+        h, low, c, st_atr, cfg.supertrend_mult
+    )
+    return new
+
+
+def indicator_frame(pdf: pd.DataFrame, cfg: PipelineConfig, ts_col: str = "ts") -> pd.DataFrame:
+    """Single-entity, ts-sorted indicator kernel — optimized array form.
+
+    Same math, same op order per element as indicator_frame_ref, but on
+    plain float64 arrays with the EWM recurrences dispatched straight to
+    pandas' Cython aggregation (guide §4.2: hand whole batches to native
+    code). This removes the ~15 Series/ewm-object constructions per
+    group that dominate small-group cost (measured 4.75 -> ~1.2 ms per
+    66-row group; bit-identical output asserted in
+    tests/test_kernel_numpy.py over every sf0.1 entity)."""
+    pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+    new = _indicator_arrays(
+        pdf["close"].to_numpy(dtype=np.float64),
+        pdf["high"].to_numpy(dtype=np.float64),
+        pdf["low"].to_numpy(dtype=np.float64),
+        cfg,
+    )
+    return pd.concat([pdf, pd.DataFrame(new, index=pdf.index)], axis=1)
+
+
 def recurrence_output_schema(input_schema: T.StructType, cfg: PipelineConfig) -> T.StructType:
     fields = list(input_schema.fields)
     names = [f"ema_{s}" for s in cfg.ema_spans]
@@ -217,6 +379,8 @@ def compute_recurrence_indicators(
     cfg = cfg or PipelineConfig()
     out_schema = recurrence_output_schema(bars.schema, cfg)
     out_cols = [f.name for f in out_schema.fields]
+    in_cols = [f.name for f in bars.schema.fields]
+    ind_cols = [c for c in out_cols if c not in in_cols]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         res = indicator_frame(pdf, cfg, ts_col=ts_col)
@@ -229,6 +393,21 @@ def compute_recurrence_indicators(
             bars, by, ts_col, fn, out_schema,
             chunk_rows=chunk_rows, warmup_rows=warmup_rows,
         )
+
+    from .grouped import array_partition_fn
+
+    # whole-partition array kernel (r6, guide §4.2): one stable (by, ts)
+    # sort per partition, the array kernel per contiguous group slice —
+    # no pandas groupby, no per-group DataFrame/concat churn (the
+    # assembly was ~60% of kernel wall once the EWMs went through the
+    # Cython fast path); bit-identical, asserted in tests
+    partition_fn = array_partition_fn(
+        by, ts_col, ["close", "high", "low"],
+        lambda sl: _indicator_arrays(sl["close"], sl["high"], sl["low"], cfg),
+        ind_cols, out_cols,
+        auto_chunk_rows, local_chunk_rows, warmup_rows,
+    )
+
     # ts_col enables the local huge-entity auto-chunking inside the
     # Arrow task (bounded fn working set, no caller opt-in; grouped.py)
     # prepartitioned: caller guarantees entity-complete partitions (the
@@ -238,4 +417,5 @@ def compute_recurrence_indicators(
         ts_col=ts_col, warmup_rows=warmup_rows,
         auto_chunk_rows=auto_chunk_rows, chunk_rows=local_chunk_rows,
         prepartitioned=prepartitioned,
+        partition_fn=partition_fn,
     )

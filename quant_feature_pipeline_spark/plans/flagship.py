@@ -185,9 +185,15 @@ def run_flagship(
     # price group (P2 anti-projection normally drops right OHLCV).
     # One up-front entity partitioning feeds the whole chain (same
     # rationale as run_pipeline: HashPartitioning(entity) satisfies every
-    # downstream clustering requirement, so later stages add no exchange)
-    parts = int(bars.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    bars = bars.repartition(parts, by)
+    # downstream clustering requirement, so later stages add no exchange).
+    # No explicit partition COUNT (r6, guide §2.2): an explicit count
+    # pins every downstream stage to it and blocks AQE coalescing; the
+    # bare expression form starts at spark.sql.shuffle.partitions and
+    # lets AQE size the post-shuffle partitions to the DATA (floor =
+    # defaultParallelism via coalescePartitions.parallelismFirst), so
+    # the same code is right at sf0.1 and at 100 TB (measured: flagship
+    # first 27.8 -> ~22 s, 64 -> 32 tasks/stage at sf0.1)
+    bars = bars.repartition(by)
     tfs = resample_all(bars, cfg, by=by, ts_col=ts_col, persist=persist_stages)
     # the tf tables inherit the up-front entity hash layout (subset-key
     # distribution satisfaction leaves agg output partitioning at

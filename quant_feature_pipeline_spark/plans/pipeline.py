@@ -257,8 +257,13 @@ def run_pipeline(
     """
     cfg = cfg or PipelineConfig()
     if not input_partitioned:
-        parts = int(bars.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        bars = bars.repartition(parts, by)
+        # bare expression repartition (r6, guide §2.2): starts at
+        # spark.sql.shuffle.partitions but stays AQE-coalescible, so the
+        # post-shuffle partition count follows the DATA instead of a
+        # constant pinned at plan time (parallelismFirst keeps the floor
+        # at defaultParallelism; an explicit count here forced every
+        # downstream stage to it at any scale)
+        bars = bars.repartition(by)
     # ``input_partitioned=True``: the caller's input is ALREADY hash-
     # distributed by ``by`` (e.g. a bucketed table scan, sink.py
     # write_bucketed_table) — the up-front exchange is skipped and the
