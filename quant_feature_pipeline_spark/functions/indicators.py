@@ -223,6 +223,110 @@ def rolling_volume_sum(
     return rs.strip(res)
 
 
+def window_indicator_layers(
+    cfg,
+    by: str = "entity",
+    ts_col: str = "ts",
+    src: str = "close",
+) -> tuple[list[dict[str, Column]], dict[str, Column], list[str]]:
+    """The full sma/bollinger/roc/realized-vol expression set as THREE
+    reusable withColumns layers + one final projection (r6).
+
+    Motivation (guide §1.2 per-task work + §7.2 plan size): the chained
+    sma() -> bollinger_width() -> roc_momentum() -> realized_vol() form
+    rebuilt identical prefix-sum columns per helper and paid ~750 ms of
+    py4j Column construction PER TIMEFRAME (25k JVM round-trips across
+    the 4-tf flagship build); expressions here are built once per config
+    and reused across every timeframe table — Column objects are plan-
+    independent. Formulas are verbatim _RollStats algebra, so outputs
+    are expression-identical to the chained helpers (pinned by the
+    unchanged oracle hashes and tests/test_indicators.py).
+
+    Returns (layers, final, drop_cols): apply each layer dict in order
+    with ``withColumns``, then ``withColumns(final)``, then drop
+    ``drop_cols``."""
+    wc = _cum(by, ts_col)
+    wo = _ord(by, ts_col)
+    x = F.col(src).cast("double")
+    ok = x.isNotNull() & ~F.isnan(x)
+    sma_ns = list(cfg.sma_windows)
+    lag_ns = sorted({*sma_ns, cfg.bb_window})
+    l1 = {
+        "_fw_S": F.sum(F.when(ok, x).otherwise(0.0)).over(wc),
+        "_fw_C": F.sum(F.when(ok, 1.0).otherwise(0.0)).over(wc),
+        "_fw_Q": F.sum(F.when(ok, x * x).otherwise(0.0)).over(wc),
+        "_fw_lag1": F.lag(src, 1).over(wo),
+        "_fw_lagm": F.lag(src, cfg.mom_window).over(wo),
+    }
+    prev = F.col("_fw_lag1")
+    l2: dict[str, Column] = {
+        "_fw_lr": F.when((prev > 0) & (F.col(src) > 0), F.log(F.col(src) / prev)),
+    }
+    for n in lag_ns:
+        l2[f"_fw_S{n}"] = F.lag("_fw_S", n).over(wo)
+        l2[f"_fw_C{n}"] = F.lag("_fw_C", n).over(wo)
+    l2[f"_fw_Q{cfg.bb_window}"] = F.lag("_fw_Q", cfg.bb_window).over(wo)
+    xr = F.col("_fw_lr").cast("double")
+    okr = xr.isNotNull() & ~F.isnan(xr)
+    l3 = {
+        "_fr_S": F.sum(F.when(okr, xr).otherwise(0.0)).over(wc),
+        "_fr_C": F.sum(F.when(okr, 1.0).otherwise(0.0)).over(wc),
+        "_fr_Q": F.sum(F.when(okr, xr * xr).otherwise(0.0)).over(wc),
+    }
+    l4: dict[str, Column] = {}
+    for n in cfg.rv_windows:
+        l4[f"_fr_S{n}"] = F.lag("_fr_S", n).over(wo)
+        l4[f"_fr_C{n}"] = F.lag("_fr_C", n).over(wo)
+        l4[f"_fr_Q{n}"] = F.lag("_fr_Q", n).over(wo)
+
+    def win(tag: str, n: int) -> Column:
+        return F.col(f"{tag}_S") - F.coalesce(F.col(f"{tag}_S{n}"), F.lit(0.0))
+
+    def cnt(tag: str, n: int) -> Column:
+        return F.col(f"{tag}_C") - F.coalesce(F.col(f"{tag}_C{n}"), F.lit(0.0))
+
+    def qwin(tag: str, n: int) -> Column:
+        return F.col(f"{tag}_Q") - F.coalesce(F.col(f"{tag}_Q{n}"), F.lit(0.0))
+
+    def var(tag: str, n: int, ddof: int, min_periods: int) -> Column:
+        c = cnt(tag, n)
+        s = win(tag, n)
+        q = qwin(tag, n)
+        denom = c - ddof
+        v = (q - s * s / c) / denom
+        return F.when(
+            (c >= min_periods) & (denom > 0), F.greatest(v, F.lit(0.0))
+        )
+
+    final: dict[str, Column] = {}
+    for n in sma_ns:
+        c = cnt("_fw", n)
+        final[f"sma_{n}"] = F.when(c >= 1, win("_fw", n) / c)
+    bb_n, bb_mp = cfg.bb_window, max(10, cfg.bb_window // 2)
+    c_bb = cnt("_fw", bb_n)
+    ma = F.when(c_bb >= bb_mp, win("_fw", bb_n) / c_bb)
+    sd = F.sqrt(var("_fw", bb_n, 1, bb_mp))
+    final["bb_width"] = F.when(ma != 0, (2.0 * cfg.bb_std * sd) / ma)
+    prevm = F.col("_fw_lagm")
+    final["mom"] = F.when(
+        prevm.isNotNull() & (prevm != 0), F.col(src) / prevm - 1.0
+    )
+    for n in cfg.rv_windows:
+        final[f"rv_win{n}"] = F.sqrt(var("_fr", n, 1, 2))
+    drop = (
+        list(l1) + list(l2) + list(l3) + list(l4)
+    )
+    return [l1, l2, l3, l4], final, drop
+
+
+def apply_window_indicators(
+    df: DataFrame, layers, final, drop
+) -> DataFrame:
+    for layer in layers:
+        df = df.withColumns(layer)
+    return df.withColumns(final).drop(*drop)
+
+
 def true_range(high: Column, low: Column, prev_close: Column) -> Column:
     """TR = max(h-l, |h-prev_c|, |l-prev_c|) — ATR's building block."""
     return F.greatest(high - low, F.abs(high - prev_close), F.abs(low - prev_close))

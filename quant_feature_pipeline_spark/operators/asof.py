@@ -470,11 +470,13 @@ def asof_join_hot_routed(
     empty bucketed branch, no union (r5: the lazy always-both-branches
     form cost 2-3x on non-skewed inputs, the usual shape). With a small
     hot list (<= ``hot_isin_max``) the branches split on a LITERAL
-    ``isin`` filter — no broadcast join, and row membership is decided
-    on the driver, closing the ADVICE r4 hazard where a
-    non-deterministic left could disagree between the anti and semi
-    branches. Only an implausibly large hot list falls back to the
-    broadcast semi/anti-join form.
+    ``isin`` filter — no broadcast join, and the hot SET is fixed on the
+    driver (ADVICE r5 note: the left subtree is still evaluated once per
+    branch filter, so a non-deterministic ``by`` value can still land a
+    row in both or neither branch — persist non-deterministic inputs
+    before routing; null-key rows flow to the cold branch explicitly).
+    Only an implausibly large hot list falls back to the broadcast
+    semi/anti-join form.
 
     Cost note: each branch still scans the left subtree (plus one scan
     for the detection count) — a parquet scan is cheap next to the
@@ -496,6 +498,30 @@ def asof_join_hot_routed(
     exact plans, never change a result row. The sample is seeded and the
     detected list is materialized once before any branch is built, so
     both branches always filter against one hot set."""
+    kw = dict(
+        on=on, by=by, direction=direction,
+        allow_exact_matches=allow_exact_matches,
+        tolerance_s=tolerance_s, right_prefix=right_prefix,
+    )
+    # r6 (VERDICT r5 item 3 — kill the fixed routing tax on small
+    # inputs): before paying the detection count job, bound left's row
+    # count from the optimizer's size estimate. Catalyst size estimates
+    # derive from on-disk file bytes (scaled by column pruning) or
+    # in-memory sizes — always >= 1 byte per row by a wide margin (the
+    # sf0.1 events scan estimates ~10 bytes/row) — so an estimate below
+    # ``hot_rows`` BYTES proves no entity can hold ``hot_rows`` rows and
+    # the plain one-window plan is returned with ZERO extra jobs. At
+    # scale the estimate exceeds the threshold and detection runs as
+    # before; being conservative here can only skip an unnecessary
+    # detection, never mis-route a genuinely hot table.
+    try:
+        est_bytes = int(
+            left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimation must never break the join
+        est_bytes = None
+    if est_bytes is not None and est_bytes < hot_rows:
+        return asof_join_union_ffill(left, right, **kw)
     counted = (
         left if hot_detect_sample is None
         else left.sample(fraction=float(hot_detect_sample), seed=7)
@@ -511,15 +537,15 @@ def asof_join_hot_routed(
         .select(by)
     )
     hot_list = [r[0] for r in hot.limit(hot_isin_max + 1).collect()]
-    kw = dict(
-        on=on, by=by, direction=direction,
-        allow_exact_matches=allow_exact_matches,
-        tolerance_s=tolerance_s, right_prefix=right_prefix,
-    )
+    # ADVICE r5: a NULL group can legally exceed the threshold, but a
+    # None in the isin literal list makes BOTH branch predicates NULL
+    # (three-valued logic) and silently drops every null-key row. Route
+    # null-key rows to the cold branch explicitly instead.
+    hot_list = [x for x in hot_list if x is not None]
     if not hot_list:  # the common case: the r4-shaped one-window plan
         return asof_join_union_ffill(left, right, **kw)
     if len(hot_list) <= hot_isin_max:
-        is_hot = F.col(by).isin(hot_list)
+        is_hot = F.col(by).isNotNull() & F.col(by).isin(hot_list)
         cold_l, cold_r = left.filter(~is_hot), right.filter(~is_hot)
         hot_l, hot_r = left.filter(is_hot), right.filter(is_hot)
     else:  # implausibly many hot entities: broadcast-join split

@@ -38,8 +38,10 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..config import PipelineConfig, tf_seconds
-from ..functions.indicators import _RollStats
+from ..functions.indicators import window_indicator_layers
 from ..functions.normalize import market_state, tanh_compress
 from ..functions.rank import rolling_rank_multi
 from ..functions.timefeat import time_encodings_rounded
@@ -199,8 +201,12 @@ def run_flagship(
     # distribution satisfaction leaves agg output partitioning at
     # hash(entity)), so every recurrence Arrow stage skips its own
     # repartition — same elision run_pipeline ships with (r5)
+    wexprs = window_indicator_layers(cfg, by=by, ts_col=ts_col)
     inds = {
-        tf: indicator_table(df, cfg, by=by, ts_col=ts_col, prepartitioned=True)
+        tf: indicator_table(
+            df, cfg, by=by, ts_col=ts_col, prepartitioned=True,
+            window_exprs=wexprs,
+        )
         for tf, df in tfs.items()
     }
     merged = merge_timeframes(
@@ -209,12 +215,28 @@ def run_flagship(
     )
 
     # volume synthesis: ONE shared prefix-sum over base volume hands out
-    # every tf's rolling window sum (step5:595-620, min_periods=1)
-    rs = _RollStats(merged, "volume", by, ts_col, need_sq=False)
-    df = rs.df.withColumns(
-        {f"_vs_{tf}": rs._win("S", mult[tf]) for tf in cfg.resample_targets}
+    # every tf's rolling window sum (step5:595-620, min_periods=1).
+    # r6: two explicit layers (cum sum, then all lags in one withColumns)
+    # instead of _RollStats — same expressions, minus the unused count
+    # column the helper always added to the wide merged frame
+    wc_v = (
+        Window.partitionBy(by)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    df = rs.strip(df)
+    wo_v = Window.partitionBy(by).orderBy(ts_col)
+    xv = F.col("volume").cast("double")
+    okv = xv.isNotNull() & ~F.isnan(xv)
+    df = merged.withColumn(
+        "_vv_S", F.sum(F.when(okv, xv).otherwise(0.0)).over(wc_v)
+    )
+    df = df.withColumns(
+        {
+            f"_vs_{tf}": F.col("_vv_S")
+            - F.coalesce(F.lag("_vv_S", mult[tf]).over(wo_v), F.lit(0.0))
+            for tf in cfg.resample_targets
+        }
+    ).drop("_vv_S")
 
     # rank-stage inputs + base log return (all JVM expressions).
     # The reference applies log1p before ranking; log1p is strictly

