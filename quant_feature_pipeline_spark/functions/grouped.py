@@ -180,9 +180,10 @@ def grouped_apply(
         return df.mapInPandas(run, schema=schema)
     if num_partitions is not None:
         return df.repartition(num_partitions, by).mapInPandas(run, schema=schema)
-    # bare expression repartition (r6, guide §2.2): AQE-coalescible, so
-    # partition count follows data size instead of a pinned constant
-    return df.repartition(by).mapInPandas(run, schema=schema)
+    from ..tsutil import repartition_by_size
+
+    # partition count derived from the input size estimate (r6)
+    return repartition_by_size(df, by).mapInPandas(run, schema=schema)
 
 
 def array_partition_fn(
@@ -374,4 +375,6 @@ def grouped_apply_chunked(
 
     if num_partitions is not None:
         return dup.repartition(num_partitions, by, "_ck").mapInPandas(run, schema=schema)
-    return dup.repartition(by, "_ck").mapInPandas(run, schema=schema)
+    from ..tsutil import repartition_by_size
+
+    return repartition_by_size(dup, by, "_ck").mapInPandas(run, schema=schema)

@@ -46,6 +46,7 @@ from ..functions.normalize import market_state, tanh_compress
 from ..functions.rank import rolling_rank_multi
 from ..functions.timefeat import time_encodings_rounded
 from ..operators.shift import log_return
+from ..tsutil import repartition_by_size
 from .features_contract import FeatureManifest, assemble_features, health_check
 from .pipeline import indicator_table, merge_timeframes, resample_all
 
@@ -188,14 +189,14 @@ def run_flagship(
     # One up-front entity partitioning feeds the whole chain (same
     # rationale as run_pipeline: HashPartitioning(entity) satisfies every
     # downstream clustering requirement, so later stages add no exchange).
-    # No explicit partition COUNT (r6, guide §2.2): an explicit count
-    # pins every downstream stage to it and blocks AQE coalescing; the
-    # bare expression form starts at spark.sql.shuffle.partitions and
-    # lets AQE size the post-shuffle partitions to the DATA (floor =
-    # defaultParallelism via coalescePartitions.parallelismFirst), so
-    # the same code is right at sf0.1 and at 100 TB (measured: flagship
-    # first 27.8 -> ~22 s, 64 -> 32 tasks/stage at sf0.1)
-    bars = bars.repartition(by)
+    # Partition count derived from the input size estimate (r6, guide
+    # §2.2): scale-adaptive — defaultParallelism partitions on small
+    # inputs (measured: flagship first 27.8 -> ~22 s at sf0.1 when the
+    # 2*cores pin went away), bytes/16MiB at scale — and deterministic
+    # at plan time (tsutil.repartition_by_size; a bare AQE-coalescible
+    # repartition was measured flipping the token job's wide stages to
+    # too-few partitions on a near-boundary coalesce decision)
+    bars = repartition_by_size(bars, by)
     tfs = resample_all(bars, cfg, by=by, ts_col=ts_col, persist=persist_stages)
     # the tf tables inherit the up-front entity hash layout (subset-key
     # distribution satisfaction leaves agg output partitioning at

@@ -34,6 +34,7 @@ from ..functions.timefeat import time_encodings
 from ..operators.asof import asof_join, asof_join_multi
 from ..operators.resample import resample_ohlcv
 from ..operators.shift import log_return
+from ..tsutil import repartition_by_size
 
 OHLCV = ("open", "high", "low", "close", "volume")
 
@@ -268,13 +269,10 @@ def run_pipeline(
     """
     cfg = cfg or PipelineConfig()
     if not input_partitioned:
-        # bare expression repartition (r6, guide §2.2): starts at
-        # spark.sql.shuffle.partitions but stays AQE-coalescible, so the
-        # post-shuffle partition count follows the DATA instead of a
-        # constant pinned at plan time (parallelismFirst keeps the floor
-        # at defaultParallelism; an explicit count here forced every
-        # downstream stage to it at any scale)
-        bars = bars.repartition(by)
+        # partition count derived from the input size estimate (r6,
+        # guide §2.2): scale-adaptive instead of a constant pinned at
+        # plan time, deterministic instead of an AQE boundary decision
+        bars = repartition_by_size(bars, by)
     # ``input_partitioned=True``: the caller's input is ALREADY hash-
     # distributed by ``by`` (e.g. a bucketed table scan, sink.py
     # write_bucketed_table) — the up-front exchange is skipped and the
