@@ -101,12 +101,24 @@ def build_features(spark: SparkSession, args: argparse.Namespace) -> dict:
     incremental = args.mode == "auto" and not plan.full_rebuild
     if incremental:
         # recompute only the tail; warm-up rows converge the recurrences
-        # and are then DISCARDED — only strictly-new rows publish
+        # and are then DISCARDED. Publish from a small BACKTRACK before
+        # the watermark (ADVICE r5): the bucket labeled last_ts may have
+        # been partial at checkpoint time (input bars finer than base_tf)
+        # or revised by late arrivals — republishing the last few base
+        # buckets lets merge_increment's keep-last dedup replace any
+        # stale boundary rows, mirroring the reference's 5-period
+        # backtrack (step1_data.py:864-872). Republished rows sit deep
+        # inside the warm-up-converged zone, so their recomputed values
+        # match the full rebuild to the same tolerance as the new rows.
+        backtrack_s = 5 * tf_seconds(cfg.base_tf)
         tail = bars.filter(F.col(args.ts_col) >= F.lit(plan.recompute_from))
         feats = run_pipeline(
             tail, cfg, by=args.by, ts_col=args.ts_col,
             asof_strategy=args.asof_strategy,
-        ).filter(F.col(args.ts_col) > F.lit(plan.last_ts))
+        ).filter(
+            F.col(args.ts_col)
+            >= F.lit(plan.last_ts) - F.expr(f"INTERVAL {backtrack_s} SECONDS")
+        )
         publish = ck.merge_increment(
             FEATURES_STAGE, feats, keys=(args.by, args.ts_col)
         )

@@ -96,7 +96,16 @@ class Checkpointer:
 
     def resume_plan(self, stage: str, warmup_s: float, ts_col: str = "ts") -> ResumePlan:
         """recompute_from = snapshot max(ts) − warmup (global min across
-        entities so every entity replays a full warm-up tail)."""
+        entities so every entity replays a full warm-up tail).
+
+        Watermark contract (ADVICE r5, documented limitation): last_ts is
+        a single GLOBAL max(ts) — incremental publish assumes all
+        entities advance in lockstep (true for the synchronized bar
+        feeds this engine ingests). An entity whose new rows lag behind
+        the global watermark by more than the publish backtrack
+        (jobs.py) would not republish them; feeds with per-entity lag
+        should resume per entity from the manifest's per-entity max_ts
+        lineage (entity_lineage) instead."""
         if not self.exists(stage):
             return ResumePlan(None, None, True)
         snap = self.read(stage)

@@ -210,16 +210,15 @@ def run_flagship(
         )
         for tf, df in tfs.items()
     }
-    merged = merge_timeframes(
-        tfs[base_tf], inds, cfg, by=by, ts_col=ts_col, keep_right_cols=("close",),
-        axis_tables=tfs,
-    )
-
-    # volume synthesis: ONE shared prefix-sum over base volume hands out
-    # every tf's rolling window sum (step5:595-620, min_periods=1).
-    # r6: two explicit layers (cum sum, then all lags in one withColumns)
-    # instead of _RollStats — same expressions, minus the unused count
-    # column the helper always added to the wide merged frame
+    # volume synthesis + base log return on the NARROW base axis BEFORE
+    # the merge (r6, guide §2.3 — project before the exchange/sort):
+    # both depend only on (entity, ts, volume/close), which are base
+    # columns, so computing them here sorts a 12-column frame once
+    # instead of window-sorting the ~100-column merged frame after the
+    # as-of; the derived columns ride the narrow union as left payload
+    # (run_pipeline has shipped log_return this way since r4). Same
+    # expressions on the same rows — bit-identical.
+    base = tfs[base_tf]
     wc_v = (
         Window.partitionBy(by)
         .orderBy(ts_col)
@@ -228,16 +227,22 @@ def run_flagship(
     wo_v = Window.partitionBy(by).orderBy(ts_col)
     xv = F.col("volume").cast("double")
     okv = xv.isNotNull() & ~F.isnan(xv)
-    df = merged.withColumn(
+    base = base.withColumn(
         "_vv_S", F.sum(F.when(okv, xv).otherwise(0.0)).over(wc_v)
     )
-    df = df.withColumns(
+    base = base.withColumns(
         {
             f"_vs_{tf}": F.col("_vv_S")
             - F.coalesce(F.lag("_vv_S", mult[tf]).over(wo_v), F.lit(0.0))
             for tf in cfg.resample_targets
         }
     ).drop("_vv_S")
+    base = log_return(base, src="close", out=ret_name, by=by, ts_col=ts_col)
+
+    df = merge_timeframes(
+        base, inds, cfg, by=by, ts_col=ts_col, keep_right_cols=("close",),
+        axis_tables=tfs,
+    )
 
     # rank-stage inputs + base log return (all JVM expressions).
     # The reference applies log1p before ranking; log1p is strictly
@@ -254,7 +259,6 @@ def run_flagship(
         ax = F.coalesce(F.col(f"{tf}_atr{cfg.atr_window}_pct"), F.lit(0.0))
         prep_cols[f"_ax_{tf}"] = F.greatest(ax, F.lit(0.0))
     df = df.withColumns(prep_cols)
-    df = log_return(df, src="close", out=ret_name, by=by, ts_col=ts_col)
     if persist_stages:
         # consumed by the stats pass, the rank branch, and the join-back —
         # without persistence Catalyst recomputes the merge per consumer
