@@ -49,10 +49,19 @@ def indicator_table(
 ) -> DataFrame:
     """Step3 equivalent: full indicator set for one timeframe table.
 
-    The recurrence Arrow stage runs FIRST, on the narrow bar frame — the
-    window indicators are pure Catalyst expressions layered on its
-    output, so the ~20 sma/bb/roc/rv columns never pay the
-    Arrow serialize/deserialize round-trip.
+    Stage order (r6): the Catalyst window indicators run FIRST, on the
+    resampled bar table — whose hash(entity) partitioning Catalyst can
+    SEE, so their one sort needs no exchange — and the recurrence Arrow
+    stage runs LAST. The previous order (recurrence first) hid the
+    partitioning behind the opaque mapInPandas node, so EnsureRequirements
+    re-exchanged every timeframe's indicator output for the window sort
+    (measured: 4 exchanges x ~14 MiB per flagship run at sf0.1; the
+    550 MB "indicators" shuffle slice of the token scaling job). The
+    trade is ~11 window columns riding through the Arrow stage's
+    serialization — ~90 bytes/row each way, far cheaper than a shuffle
+    of the full indicator frame. Same rows, same expressions on the
+    same inputs — bit-identical output, only column ORDER changes
+    (window family before the recurrence block).
 
     The sma/bollinger/roc/realized-vol family applies as the fused
     expression layers from window_indicator_layers (r6): identical
@@ -64,17 +73,18 @@ def indicator_table(
 
     ``prepartitioned``: the input is already hash-partitioned by ``by``
     with every entity's rows in one partition (run_pipeline's up-front
-    repartition, preserved through the resample aggs) — the recurrence
-    Arrow stage then skips its own repartition (r5: Spark does not elide
-    an explicit redundant RepartitionByExpression, so this was one full
-    extra shuffle per timeframe)."""
-    df = compute_recurrence_indicators(
-        bars_tf, cfg, by=by, ts_col=ts_col, prepartitioned=prepartitioned
-    )
+    repartition, preserved through the resample aggs and the window
+    operators) — the recurrence Arrow stage then skips its own
+    repartition (r5: Spark does not elide an explicit redundant
+    RepartitionByExpression, so this was one full extra shuffle per
+    timeframe)."""
     layers, final, drop = window_exprs or window_indicator_layers(
         cfg, by=by, ts_col=ts_col
     )
-    return apply_window_indicators(df, layers, final, drop)
+    df = apply_window_indicators(bars_tf, layers, final, drop)
+    return compute_recurrence_indicators(
+        df, cfg, by=by, ts_col=ts_col, prepartitioned=prepartitioned
+    )
 
 
 def resample_all(
