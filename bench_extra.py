@@ -269,6 +269,125 @@ def skew_multi() -> None:
     print(json.dumps(res))
 
 
+def stream_state_50() -> None:
+    """VERDICT r5 item 7: the watermark-buffered streaming as-of over
+    ~50 micro-batches at sf0.1 with a realistic (30 min) watermark,
+    per-batch held-rows telemetry — evidence that state PLATEAUS with
+    batch count instead of growing. Left events replay in-order in 48
+    file slices (1 file per trigger); rights are the closed 15m bars in
+    one batch plus two far-future sentinel files to flush the tail."""
+    import datetime as _dt
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from quant_feature_pipeline_spark.operators.resample import resample_ohlcv
+    from quant_feature_pipeline_spark.session import get_spark
+    from quant_feature_pipeline_spark.streaming.micro import stream_bars_from_dir
+    from quant_feature_pipeline_spark.streaming.stateful import (
+        streaming_asof_buffered,
+    )
+    import __spark_entry__ as entrymod
+
+    spark = _spark()
+    ev = entrymod._t(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    n_files = 48
+    ldir = f"/tmp/stream50_left_{uuid.uuid4().hex[:8]}"
+    # in-order slices by ts rank so event time advances batch by batch
+    from pyspark.sql.window import Window
+
+    rk = F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    ev_rk = ev.withColumn("_f", rk)
+    mt = 1_700_000_000
+    for i in range(1, n_files + 1):
+        d = f"{ldir}/f{i:02d}"
+        ev_rk.filter(F.col("_f") == i).drop("_f").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        import os as _os
+
+        for root, _dirs, files in _os.walk(d):
+            for fn in files:
+                _os.utime(_os.path.join(root, fn), (mt + 4 * i, mt + 4 * i))
+    left = stream_bars_from_dir(
+        spark, f"{ldir}/f*", schema=ev.schema, max_files_per_trigger=1
+    )
+    bars = resample_ohlcv(
+        entrymod._ticks(spark, SF_DIR), "15m", by="user_id"
+    ).select("user_id", "ts", F.col("close").alias("rclose"))
+    st = bars.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = st["lo"], st["hi"]
+    ent = bars.select("user_id").first()[0]
+    sent1 = hi + _dt.timedelta(days=2)
+    rdir = f"/tmp/stream50_right_{uuid.uuid4().hex[:8]}"
+    # rights co-flow aligned to the LEFT slices' time boundaries (one
+    # right file per left batch window): both sides share ONE watermark
+    # column after the union, so a right feed racing ahead of the lefts
+    # would advance the watermark past them and late-drop them —
+    # pacing the feeds together is the realistic joint-ingest contract.
+    bounds = [
+        r["_b"]
+        for r in ev_rk.groupBy("_f").agg(F.max("ts").alias("_b"))
+        .orderBy("_f").collect()
+    ]
+    b_arr = F.array(*[F.lit(b) for b in bounds[:-1]])
+    bars_rk = bars.withColumn(
+        "_f", F.size(F.filter(b_arr, lambda b: b < F.col("ts"))) + 1
+    )
+    pieces = [
+        bars_rk.filter(F.col("_f") == i).drop("_f")
+        for i in range(1, n_files + 1)
+    ] + [
+        spark.createDataFrame([(ent, s, 0.0)], bars.schema)
+        for s in (sent1, sent1 + _dt.timedelta(seconds=900))
+    ]
+    for i, piece in enumerate(pieces):
+        d = f"{rdir}/f{i}"
+        piece.coalesce(1).write.mode("overwrite").parquet(d)
+        import os as _os
+
+        for root, _dirs, files in _os.walk(d):
+            for fn in files:
+                _os.utime(_os.path.join(root, fn), (mt + 2 * i, mt + 2 * i))
+    right = stream_bars_from_dir(
+        spark, f"{rdir}/f*", schema=bars.schema, max_files_per_trigger=1
+    )
+    out = streaming_asof_buffered(
+        left, right, on="ts", by="user_id", right_prefix="r15_",
+        watermark="1800 seconds",
+    )
+    name = f"stream50_{uuid.uuid4().hex[:8]}"
+    t0 = time.time()
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    finished = q.awaitTermination(1200)
+    sec = round(time.time() - t0, 2)
+    prog = [p for p in q.recentProgress if p]
+    per_batch = [
+        sum(o.get("numRowsTotal", 0) for o in (p.get("stateOperators") or []))
+        for p in prog
+    ]
+    res = {
+        "finished": bool(finished),
+        "sec": sec,
+        "batches": len(prog),
+        "out_rows": spark.table(name).count(),
+        "watermark_s": 1800,
+        "state_rows_per_batch": per_batch,
+        "max_state_rows": max(per_batch) if per_batch else None,
+        "final_state_rows": per_batch[-1] if per_batch else None,
+    }
+    spark.stop()
+    shutil.rmtree(ldir, ignore_errors=True)
+    shutil.rmtree(rdir, ignore_errors=True)
+    print(json.dumps(res))
+
+
 def explain_query(name: str, tag: str) -> None:
     import __spark_entry__ as entrymod
 
@@ -295,6 +414,8 @@ def main() -> None:
         headline(names)
     elif "--skew-multi" in sys.argv:
         skew_multi()
+    elif "--stream-state50" in sys.argv:
+        stream_state_50()
     elif "--query" in sys.argv:
         name = sys.argv[sys.argv.index("--query") + 1]
         reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 1
