@@ -93,14 +93,16 @@ def main() -> None:
             "forward-fill over the tagged union.",
         ),
         (
-            "As-of join, DEFAULT auto routing (J1, r5)",
+            "As-of join, DEFAULT auto routing (J1, r5; r6 estimate skip)",
             asof_join(bars, bars.select("entity", "ts", F.col("close").alias("r"))),
-            "the default entry point detects the bounded hot-entity list EAGERLY "
-            "(one driver count job); with no hot entity — this input — it returns "
-            "the plain one-window union-ffill plan (1 exchange, 1 sort: zero routing "
-            "overhead). With a hot entity the branches split on a literal isin "
-            "filter: cold entities keep the union-ffill window, the hot one takes "
-            "the range-bucketed branch, unioned — never one straggler sort task.",
+            "the default entry point first bounds left's row count from the "
+            "optimizer's size ESTIMATE (r6): an estimate below hot_rows bytes "
+            "proves no entity can be hot, so small inputs — this one — get the "
+            "plain one-window union-ffill plan with ZERO extra jobs (1 exchange, "
+            "1 sort). Larger inputs pay one bounded detection count; with a hot "
+            "entity the branches split on a literal isin filter: cold entities "
+            "keep the union-ffill window, the hot one takes the range-bucketed "
+            "branch, unioned — never one straggler sort task.",
         ),
         (
             "Multi-timeframe as-of (fused)",
