@@ -192,3 +192,41 @@ def test_rollstats_nan_does_not_poison(spark):
     np.testing.assert_allclose(
         got["sma_5"].to_numpy(), want.to_numpy(), rtol=1e-9, equal_nan=True
     )
+
+
+def test_fused_window_layers_equal_chained_helpers(spark):
+    """r6 refactor lock: the fused window_indicator_layers expression set
+    must be BIT-identical, column by column, to the original chained
+    sma -> bollinger_width -> roc_momentum -> realized_vol helpers on
+    the same input (incl. warm-up NULL placement)."""
+    from quant_feature_pipeline_spark.functions.indicators import (
+        apply_window_indicators,
+        bollinger_width,
+        realized_vol,
+        roc_momentum,
+        sma,
+        window_indicator_layers,
+    )
+
+    cfg = CFG
+    pdf = make_bars_pdf(n=600, entities=("A", "B", "C"), seed=9)
+    df = spark.createDataFrame(pdf)
+
+    chained = sma(df, cfg.sma_windows)
+    chained = bollinger_width(chained, cfg.bb_window, cfg.bb_std)
+    chained = roc_momentum(chained, cfg.mom_window)
+    chained = realized_vol(chained, cfg.rv_windows)
+
+    layers, final, drop = window_indicator_layers(cfg)
+    fused = apply_window_indicators(df, layers, final, drop)
+
+    assert list(fused.columns) == list(chained.columns)
+    key = ["entity", "ts"]
+    a = chained.toPandas().sort_values(key).reset_index(drop=True)
+    b = fused.toPandas().sort_values(key).reset_index(drop=True)
+    for c in a.columns:
+        ga, gb = a[c].to_numpy(), b[c].to_numpy()
+        if ga.dtype.kind == "f":
+            assert np.array_equal(ga, gb, equal_nan=True), c
+        else:
+            assert (ga == gb).all(), c
