@@ -230,3 +230,42 @@ def test_fused_window_layers_equal_chained_helpers(spark):
             assert np.array_equal(ga, gb, equal_nan=True), c
         else:
             assert (ga == gb).all(), c
+
+
+def test_indicator_table_stage_reorder_equivalence(spark):
+    """r6 reorder lock: indicator_table (windows FIRST, recurrence Arrow
+    stage LAST) must produce value-identical columns to the original
+    order (recurrence first, chained window helpers after) — only the
+    column ORDER may differ."""
+    from quant_feature_pipeline_spark.functions.indicators import (
+        bollinger_width,
+        realized_vol,
+        roc_momentum,
+        sma,
+    )
+    from quant_feature_pipeline_spark.functions.recurrence import (
+        compute_recurrence_indicators,
+    )
+    from quant_feature_pipeline_spark.plans.pipeline import indicator_table
+
+    cfg = CFG
+    pdf = make_bars_pdf(n=500, entities=("A", "B"), seed=11)
+    df = spark.createDataFrame(pdf)
+
+    old = compute_recurrence_indicators(df, cfg)
+    old = sma(old, cfg.sma_windows)
+    old = bollinger_width(old, cfg.bb_window, cfg.bb_std)
+    old = roc_momentum(old, cfg.mom_window)
+    old = realized_vol(old, cfg.rv_windows)
+
+    new = indicator_table(df, cfg)
+    assert sorted(new.columns) == sorted(old.columns)
+    key = ["entity", "ts"]
+    a = old.toPandas().sort_values(key).reset_index(drop=True)
+    b = new.toPandas().sort_values(key).reset_index(drop=True)
+    for c in a.columns:
+        ga, gb = a[c].to_numpy(), b[c].to_numpy()
+        if ga.dtype.kind == "f":
+            assert np.array_equal(ga, gb, equal_nan=True), c
+        else:
+            assert (ga == gb).all(), c
